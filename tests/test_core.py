@@ -1,0 +1,128 @@
+"""Core runtime tests: module registry composition, views, dispatch math.
+
+Mirrors wgcore's example-level API contract (compose/overwrite/hot_reloading,
+wgcore/examples/compose.rs:20-36) and tensor view tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgmath_tpu.core import (
+    KernelModule,
+    View,
+    capacity_bucket,
+    cdiv,
+    compose,
+    flat_source,
+    next_power_of_two,
+    round_up,
+    view_of,
+)
+from wgmath_tpu.core.module import (
+    EntryPoint,
+    compile_check,
+    dependency_order,
+    register_module,
+)
+from wgmath_tpu.core.testing import assert_close
+
+
+def _make_diamond():
+    # base <- left, base <- right, top <- (left, right): dedup check
+    def base_fn(x):
+        return x + 1.0
+
+    def left_fn(x):
+        return base_fn(x) * 2.0
+
+    def right_fn(x):
+        return base_fn(x) * 3.0
+
+    register_module(KernelModule("t_base", provides={"base_fn": base_fn}))
+    register_module(KernelModule("t_left", deps=("t_base",), provides={"left_fn": left_fn}))
+    register_module(KernelModule("t_right", deps=("t_base",), provides={"right_fn": right_fn}))
+    register_module(
+        KernelModule(
+            "t_top",
+            deps=("t_left", "t_right"),
+            provides={"top_fn": lambda x: left_fn(x) + right_fn(x)},
+            entries={
+                "top": EntryPoint(
+                    fn=lambda x: left_fn(x) + right_fn(x),
+                    example_args=lambda: (jnp.zeros((8,), jnp.float32),),
+                )
+            },
+        )
+    )
+
+
+def test_module_diamond_dedup_and_compose():
+    _make_diamond()
+    order = dependency_order("t_top")
+    assert order.count("t_base") == 1
+    assert order[0] == "t_base" and order[-1] == "t_top"
+    ns = compose("t_top")
+    assert set(ns) >= {"base_fn", "left_fn", "right_fn", "top_fn"}
+    out = jax.jit(ns["top_fn"])(jnp.float32(1.0))
+    assert float(out) == (1.0 + 1) * 2 + (1.0 + 1) * 3
+
+
+def test_module_duplicate_registration_rejected():
+    register_module(KernelModule("t_dup", provides={}))
+    with pytest.raises(ValueError):
+        # different defining frame doesn't matter; same test module → idempotent,
+        # so fake a conflict via allow_replace=False after mutating bookkeeping
+        from wgmath_tpu.core import module as m
+
+        m._DEFINING_PYMODULE["t_dup"] = "somewhere.else"
+        register_module(KernelModule("t_dup", provides={}))
+
+
+def test_flat_source_and_compile_check():
+    _make_diamond()
+    src = flat_source("t_top")
+    assert "module: t_base" in src and "base_fn" in src
+    assert compile_check("t_top") == ["top"]
+
+
+def test_dispatch_math():
+    assert cdiv(10, 3) == 4 and cdiv(9, 3) == 3
+    assert round_up(100, 128) == 128
+    assert next_power_of_two(1000) == 1024
+    assert capacity_bucket(10) == 1024  # floor
+    assert capacity_bucket(5000) == 8192
+
+
+def test_view_roundtrip_matrix():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(6, 5)).astype(np.float32)
+    v = view_of(a)
+    assert_close(v.to_matrix(), a, rtol=0)
+    # column view
+    assert_close(v.column(2).to_vector(), a[:, 2], rtol=0)
+    # rows/columns windows
+    assert_close(v.rows(1, 3).columns(1, 2).to_matrix(), a[1:4, 1:3], rtol=0)
+
+
+def test_view_batched_and_reshape():
+    rng = np.random.default_rng(1)
+    cube = rng.normal(size=(4, 3, 8)).astype(np.float32)  # [mat, col, row]
+    v = view_of(cube)
+    assert v.shape == (8, 3, 4)
+    assert_close(v.matrix(2).to_matrix(), cube[2].T, rtol=0)
+    flat = view_of(cube.reshape(-1))
+    r = flat.reshape(8, 12)
+    assert r.to_matrix().shape == (8, 12)
+
+
+def test_view_is_jittable_pytree():
+    a = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    v = view_of(a)
+
+    @jax.jit
+    def f(view):
+        return view.to_matrix().sum()
+
+    assert float(f(v)) == float(a.sum())
