@@ -1,0 +1,489 @@
+"""Contact solver: TGS-soft + pseudo-Jacobi (≙ wgrapier dynamics/solver.rs:47-467
++ solver.wgsl kernels).
+
+TPU-native redesign of the reference's 16-kernel launch storm:
+
+- The whole ``solve_tgs`` (4 substeps × {apply increments, relinearize,
+  warmstart, biased GS per color, integrate, unbiased GS per color}) is ONE
+  jitted program: the per-color sequencing is a ``lax.fori_loop`` with masked
+  scatter updates instead of one kernel launch per color — eliminating the
+  launch-count ∝ substeps × colors cost identified in SURVEY §3.1.
+- Atomic body-constraint counting + prefix-sum + sort (solver.wgsl
+  init_constraints/sort_constraints + WgPrefixSum) becomes a single
+  ``lax.sort_key_val`` + ``segment_sum`` CSR build — sorting is the idiomatic
+  TPU replacement for atomic-append (SURVEY §2.5).
+- Graph coloring (≙ coloring.rs TOPO-GC/Luby with per-iteration readbacks)
+  becomes a deterministic parallel claim scheme: per color, constraints
+  scatter-min their index into a per-body slot and win if they own both
+  slots; a few claim rounds per color densify the independent set. Fully
+  on-device, zero readbacks.
+- Scatter-adds replace atomics: within a color the independent set guarantees
+  exact Gauss-Seidel; warmstarting (pure accumulation) needs no coloring at
+  all because ``.at[].add`` handles duplicate indices deterministically.
+
+The per-body "pseudo-Jacobi" variant (solver.wgsl step_jacobi:211-351, which
+solves all constraints of one body sequentially with side-local impulse
+copies) is reproduced with a bounded ``fori_loop`` over each body's CSR row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wgmath_tpu.dynamics.body import (
+    Bodies,
+    Velocity,
+    WorldMassProperties,
+    integrate_velocity,
+    update_mprops,
+)
+from wgmath_tpu.dynamics.constraint import (
+    ContactConstraints,
+    Contacts,
+    build_constraints,
+    cap_magnitude,
+    gdot,
+    maybe_inv,
+    remove_cfm_and_bias,
+    sub_len,
+    update_constraints,
+)
+from wgmath_tpu.dynamics.sim_params import SimParams
+
+
+# ---------------------------------------------------------------------------
+# CSR: body → constraint ids (replaces atomics + prefix sum + sort kernels)
+# ---------------------------------------------------------------------------
+
+
+def build_body_constraint_csr(cons: ContactConstraints, num_bodies: int):
+    """Sorted (body → constraint, side) adjacency.
+
+    Returns ``(entries, offsets, counts)``: ``entries[offsets[b] + k]`` is
+    ``2*cid + side`` for the k-th constraint touching dynamic body ``b``.
+    ≙ solver.wgsl init_constraints/sort_constraints + prefix sum, built with
+    one sort instead of atomics.
+    """
+    c = cons.body_a.shape[0]
+    dyn_a = jnp.any(cons.im_a != 0.0, axis=-1) & cons.valid
+    dyn_b = jnp.any(cons.im_b != 0.0, axis=-1) & cons.valid
+    sentinel = num_bodies
+    key_a = jnp.where(dyn_a, cons.body_a, sentinel)
+    key_b = jnp.where(dyn_b, cons.body_b, sentinel)
+    keys = jnp.concatenate([key_a, key_b]).astype(jnp.int32)
+    idx = jnp.arange(c, dtype=jnp.int32)
+    vals = jnp.concatenate([idx * 2, idx * 2 + 1])
+    sk, sv = jax.lax.sort_key_val(keys, vals)
+    ones = (sk < sentinel).astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, sk, num_segments=num_bodies + 1)[:num_bodies]
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    return sv, offsets, counts
+
+
+# ---------------------------------------------------------------------------
+# Graph coloring (≙ dynamics/coloring.rs, device-resident, zero readbacks)
+# ---------------------------------------------------------------------------
+
+
+def color_constraints(cons: ContactConstraints, num_bodies: int,
+                      *, max_colors: int = 32, claim_rounds: int = 3):
+    """Assign colors 1..max_colors so same-color constraints share no dynamic
+    body. Per color: constraints scatter-min their index into per-body slots;
+    winners (owning both slots) take the color; repeated claim rounds densify.
+    Leftovers after ``max_colors`` get the last color (solved with
+    scatter-add — deterministic, Jacobi-flavored for that residue).
+    """
+    c = cons.body_a.shape[0]
+    inf = jnp.int32(2_147_483_647)
+    idx = jnp.arange(c, dtype=jnp.int32)
+    dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+
+    def claim(colors, color):
+        def one_round(_, state):
+            colors, used = state
+            cand = cons.valid & (colors == 0)
+            cand &= ~(used[cons.body_a] & dyn_a) & ~(used[cons.body_b] & dyn_b)
+            # scatter-min constraint index into body slots (dynamic sides only)
+            slot = jnp.full((num_bodies,), inf, jnp.int32)
+            a_sel = jnp.where(cand & dyn_a, cons.body_a, num_bodies)
+            b_sel = jnp.where(cand & dyn_b, cons.body_b, num_bodies)
+            slot = slot.at[a_sel].min(jnp.where(cand, idx, inf), mode="drop")
+            slot = slot.at[b_sel].min(jnp.where(cand, idx, inf), mode="drop")
+            win_a = ~dyn_a | (slot[jnp.minimum(cons.body_a, num_bodies - 1)] == idx)
+            win_b = ~dyn_b | (slot[jnp.minimum(cons.body_b, num_bodies - 1)] == idx)
+            win = cand & win_a & win_b
+            colors = jnp.where(win, color, colors)
+            used = used.at[jnp.where(win & dyn_a, cons.body_a, num_bodies)].set(
+                True, mode="drop")
+            used = used.at[jnp.where(win & dyn_b, cons.body_b, num_bodies)].set(
+                True, mode="drop")
+            return colors, used
+
+        used = jnp.zeros((num_bodies,), bool)
+        colors, _ = jax.lax.fori_loop(0, claim_rounds, one_round, (colors, used))
+        return colors
+
+    def per_color(color, colors):
+        return claim(colors, color)
+
+    colors = jnp.zeros((c,), jnp.int32)
+    colors = jax.lax.fori_loop(1, max_colors, per_color, colors)
+    # residue → last color
+    colors = jnp.where(cons.valid & (colors == 0), max_colors, colors)
+    return colors
+
+
+# ---------------------------------------------------------------------------
+# Shared per-constraint impulse math (one point-loop used by GS and Jacobi)
+# ---------------------------------------------------------------------------
+
+
+def _point_updates(cons, cid, active, v1l, v1a, v2l, v2a,
+                   prev_n_imp, prev_t_imp, p_max, dim):
+    """Run the normal+friction impulse updates for every contact point,
+    sequentially over the (static) point axis, vectorized over constraints.
+
+    ``cid`` indexes constraint storage (identity for GS, gathered for
+    Jacobi). Returns new per-point impulses and the locally-updated body
+    velocities (≙ solver.wgsl step_gauss_seidel inner loop:579-660).
+    """
+    dir_a = cons.dir_a[cid]
+    tangents = cons.tangent_a[cid]  # [M, S, dim]
+    im_a = cons.im_a[cid]
+    im_b = cons.im_b[cid]
+    cfm = cons.cfm_factor[cid]
+    friction = cons.limit[cid]
+    num_points = cons.num_points[cid]
+    s_len = tangents.shape[-2]
+
+    new_n = []
+    new_t = []
+    for k in range(p_max):
+        pt_active = active & (k < num_points)
+        m = pt_active.astype(v1l.dtype)
+
+        # --- normal part ---
+        td_a = cons.n_torque_a[cid][:, k]
+        td_b = cons.n_torque_b[cid][:, k]
+        iitd_a = cons.n_ii_torque_a[cid][:, k]
+        iitd_b = cons.n_ii_torque_b[cid][:, k]
+        rhs = cons.n_rhs[cid][:, k]
+        r = cons.n_r[cid][:, k]
+        prev = prev_n_imp[:, k]
+
+        dvel = (jnp.sum(dir_a * v1l, axis=-1) + gdot(td_a, v1a)
+                - jnp.sum(dir_a * v2l, axis=-1) + gdot(td_b, v2a) + rhs)
+        cand = cfm * jnp.maximum(prev - r * dvel, 0.0)
+        new_imp = jnp.where(pt_active, cand, prev)
+        d_imp = new_imp - prev
+        v1l = v1l + dir_a * (im_a * d_imp[..., None])
+        v1a = v1a + _scale_ang(iitd_a, d_imp)
+        v2l = v2l - dir_a * (im_b * d_imp[..., None])
+        v2a = v2a + _scale_ang(iitd_b, d_imp)
+        limit = new_imp * friction
+        new_n.append(new_imp)
+
+        # --- tangent (friction) part ---
+        t_td_a = cons.t_torque_a[cid][:, k]  # [M, S(, 3)]
+        t_td_b = cons.t_torque_b[cid][:, k]
+        t_iitd_a = cons.t_ii_torque_a[cid][:, k]
+        t_iitd_b = cons.t_ii_torque_b[cid][:, k]
+        t_rhs = cons.t_rhs[cid][:, k]  # [M, S]
+        t_r = cons.t_r[cid][:, k]  # [M, 3] or [M, 1]
+        t_prev = prev_t_imp[:, k]  # [M, S]
+
+        if dim == 2:
+            tj = tangents[:, 0]
+            dvel = (jnp.sum(tj * v1l, axis=-1) + gdot(t_td_a[:, 0], v1a)
+                    - jnp.sum(tj * v2l, axis=-1) + gdot(t_td_b[:, 0], v2a)
+                    + t_rhs[:, 0])
+            cand = cfm * jnp.clip(t_prev[:, 0] - t_r[:, 0] * dvel, -limit, limit)
+            t_new = jnp.where(pt_active, cand, t_prev[:, 0])
+            dl = t_new - t_prev[:, 0]
+            v1l = v1l + tj * (im_a * dl[..., None])
+            v1a = v1a + _scale_ang(t_iitd_a[:, 0], dl)
+            v2l = v2l - tj * (im_b * dl[..., None])
+            v2a = v2a + _scale_ang(t_iitd_b[:, 0], dl)
+            new_t.append(t_new[:, None])
+        else:
+            d0 = (jnp.sum(tangents[:, 0] * v1l, axis=-1)
+                  + gdot(t_td_a[:, 0], v1a)
+                  - jnp.sum(tangents[:, 0] * v2l, axis=-1)
+                  + gdot(t_td_b[:, 0], v2a) + t_rhs[:, 0])
+            d1 = (jnp.sum(tangents[:, 1] * v1l, axis=-1)
+                  + gdot(t_td_a[:, 1], v1a)
+                  - jnp.sum(tangents[:, 1] * v2l, axis=-1)
+                  + gdot(t_td_b[:, 1], v2a) + t_rhs[:, 1])
+            d00, d11, d01 = d0 * d0, d1 * d1, d0 * d1
+            inv_lhs = (d00 + d11) * maybe_inv(
+                d00 * t_r[:, 0] + d11 * t_r[:, 1] + d01 * t_r[:, 2])
+            delta = jnp.stack([inv_lhs * d0, inv_lhs * d1], axis=-1)
+            cand = cap_magnitude(t_prev - delta, limit)
+            t_new = jnp.where(pt_active[..., None], cand, t_prev)
+            dl = t_new - t_prev  # [M, 2]
+            lin_dir = (tangents[:, 0] * dl[:, 0:1] + tangents[:, 1] * dl[:, 1:2])
+            v1l = v1l + lin_dir * im_a
+            v1a = v1a + _scale_ang(t_iitd_a[:, 0], dl[:, 0]) + _scale_ang(t_iitd_a[:, 1], dl[:, 1])
+            v2l = v2l - lin_dir * im_b
+            v2a = v2a + _scale_ang(t_iitd_b[:, 0], dl[:, 0]) + _scale_ang(t_iitd_b[:, 1], dl[:, 1])
+            new_t.append(t_new)
+
+    return (jnp.stack(new_n, axis=1), jnp.stack(new_t, axis=1),
+            v1l, v1a, v2l, v2a)
+
+
+def _scale_ang(ang_dir, scalar):
+    """angular_direction * impulse for scalar (2D) or vector (3D) angulars."""
+    if ang_dir.ndim == scalar.ndim + 1:
+        return ang_dir * scalar[..., None]
+    return ang_dir * scalar
+
+
+# ---------------------------------------------------------------------------
+# Warmstart (pure accumulation — no coloring needed on TPU)
+# ---------------------------------------------------------------------------
+
+
+def warmstart_apply(cons: ContactConstraints, vels: Velocity) -> Velocity:
+    """Apply stored impulses to velocities (≙ solver.wgsl warmstart:464-524).
+    Duplicate body indices accumulate exactly via index-add, so one fused
+    scatter replaces the reference's per-color loop."""
+    dim = cons.dim
+    p_max = cons.n_impulse.shape[1]
+    lin, ang = vels.linear, vels.angular
+    d1l = jnp.zeros_like(cons.dir_a)
+    d2l = jnp.zeros_like(cons.dir_a)
+    d1a = jnp.zeros_like(cons.n_torque_a[:, 0])
+    d2a = jnp.zeros_like(d1a)
+    mask = cons.valid
+    for k in range(p_max):
+        imp = jnp.where(mask & (k < cons.num_points), cons.n_impulse[:, k], 0.0)
+        d1l += cons.dir_a * (cons.im_a * imp[:, None])
+        d1a += _scale_ang(cons.n_ii_torque_a[:, k], imp)
+        d2l -= cons.dir_a * (cons.im_b * imp[:, None])
+        d2a += _scale_ang(cons.n_ii_torque_b[:, k], imp)
+        for j in range(cons.tangent_a.shape[-2]):
+            timp = jnp.where(mask & (k < cons.num_points),
+                             cons.t_impulse[:, k, j], 0.0)
+            tj = cons.tangent_a[:, j]
+            d1l += tj * (cons.im_a * timp[:, None])
+            d1a += _scale_ang(cons.t_ii_torque_a[:, k, j], timp)
+            d2l -= tj * (cons.im_b * timp[:, None])
+            d2a += _scale_ang(cons.t_ii_torque_b[:, k, j], timp)
+    lin = lin.at[cons.body_a].add(d1l).at[cons.body_b].add(d2l)
+    ang = ang.at[cons.body_a].add(d1a).at[cons.body_b].add(d2a)
+    return Velocity(lin, ang)
+
+
+# ---------------------------------------------------------------------------
+# Colored Gauss-Seidel pass (≙ step_gauss_seidel per color)
+# ---------------------------------------------------------------------------
+
+
+def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
+                    colors: jax.Array, *, max_colors: int = 32):
+    """One full PGS sweep: sequentially over colors, in parallel within."""
+    dim = cons.dim
+    p_max = cons.n_impulse.shape[1]
+    cid = jnp.arange(cons.body_a.shape[0], dtype=jnp.int32)
+
+    def one_color(color, carry):
+        lin, ang, n_imp, t_imp = carry
+        active = cons.valid & (colors == color)
+        v1l, v1a = lin[cons.body_a], ang[cons.body_a]
+        v2l, v2a = lin[cons.body_b], ang[cons.body_b]
+        i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
+        work = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
+        new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
+            work, cid, active, v1l, v1a, v2l, v2a, n_imp, t_imp, p_max, dim)
+        n_imp = jnp.where(active[:, None], new_n, n_imp)
+        t_imp = jnp.where(active[:, None, None], new_t, t_imp)
+        lin = lin.at[cons.body_a].add(v1l - i1l).at[cons.body_b].add(v2l - i2l)
+        ang = ang.at[cons.body_a].add(v1a - i1a).at[cons.body_b].add(v2a - i2a)
+        return lin, ang, n_imp, t_imp
+
+    lin, ang, n_imp, t_imp = jax.lax.fori_loop(
+        1, max_colors + 1, one_color,
+        (vels.linear, vels.angular, cons.n_impulse, cons.t_impulse))
+    return (Velocity(lin, ang),
+            dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp))
+
+
+# ---------------------------------------------------------------------------
+# Per-body pseudo-Jacobi pass (≙ step_jacobi)
+# ---------------------------------------------------------------------------
+
+
+def jacobi_pass(cons: ContactConstraints, vels: Velocity, csr,
+                *, max_per_body: int = 32):
+    """Each body solves its own constraints sequentially against a stale
+    snapshot of other bodies (side-local impulse copies), all bodies in
+    parallel (≙ solver.wgsl step_jacobi:211-351)."""
+    entries, offsets, counts = csr
+    dim = cons.dim
+    p_max = cons.n_impulse.shape[1]
+    n = vels.linear.shape[0]
+    c = cons.body_a.shape[0]
+    snap_l, snap_a = vels.linear, vels.angular
+
+    def body_fn(k, carry):
+        own_l, own_a, n_imp, n_imp_j, t_imp, t_imp_j = carry
+        active = k < counts
+        e = jnp.clip(offsets + k, 0, entries.shape[0] - 1)
+        v = entries[e]
+        cid = jnp.where(active, v >> 1, 0)
+        is_a = (v & 1) == 0
+
+        body_a = cons.body_a[cid]
+        body_b = cons.body_b[cid]
+        other = jnp.where(is_a, body_b, body_a)
+        v1l = jnp.where(is_a[:, None], own_l, snap_l[other])
+        v2l = jnp.where(is_a[:, None], snap_l[other], own_l)
+        if own_a.ndim == 2:
+            v1a = jnp.where(is_a[:, None], own_a, snap_a[other])
+            v2a = jnp.where(is_a[:, None], snap_a[other], own_a)
+        else:
+            v1a = jnp.where(is_a, own_a, snap_a[other])
+            v2a = jnp.where(is_a, snap_a[other], own_a)
+
+        prev_n = jnp.where(is_a[:, None], n_imp[cid], n_imp_j[cid])
+        prev_t = jnp.where(is_a[:, None, None], t_imp[cid], t_imp_j[cid])
+        new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
+            cons, cid, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
+
+        # store impulses on own side only (each (cid, side) owned by one body)
+        drop = c  # out-of-range → dropped
+        cid_a = jnp.where(active & is_a, cid, drop)
+        cid_b = jnp.where(active & ~is_a, cid, drop)
+        n_imp = n_imp.at[cid_a].set(new_n, mode="drop")
+        n_imp_j = n_imp_j.at[cid_b].set(new_n, mode="drop")
+        t_imp = t_imp.at[cid_a].set(new_t, mode="drop")
+        t_imp_j = t_imp_j.at[cid_b].set(new_t, mode="drop")
+
+        keep_l = jnp.where(is_a[:, None], v1l, v2l)
+        own_l = jnp.where(active[:, None], keep_l, own_l)
+        if own_a.ndim == 2:
+            keep_a = jnp.where(is_a[:, None], v1a, v2a)
+            own_a = jnp.where(active[:, None], keep_a, own_a)
+        else:
+            keep_a = jnp.where(is_a, v1a, v2a)
+            own_a = jnp.where(active, keep_a, own_a)
+        return own_l, own_a, n_imp, n_imp_j, t_imp, t_imp_j
+
+    own_l, own_a, n_imp, n_imp_j, t_imp, t_imp_j = jax.lax.fori_loop(
+        0, max_per_body, body_fn,
+        (vels.linear, vels.angular, cons.n_impulse, cons.n_impulse_jacobi,
+         cons.t_impulse, cons.t_impulse_jacobi))
+    return (Velocity(own_l, own_a),
+            dataclasses.replace(cons, n_impulse=n_imp, n_impulse_jacobi=n_imp_j,
+                                t_impulse=t_imp, t_impulse_jacobi=t_imp_j))
+
+
+# ---------------------------------------------------------------------------
+# Full TGS-soft / Jacobi solve (≙ solver.rs prepare + solve_tgs)
+# ---------------------------------------------------------------------------
+
+
+def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
+          params: SimParams, *, use_jacobi: bool = False,
+          max_colors: int = 32, max_per_body: int = 32,
+          warmstart_from: ContactConstraints | None = None):
+    """Run the complete constraint solve for one frame; returns
+    ``(new_poses, new_vels, constraints)``. One jit-traceable program.
+
+    Sequence ≙ solver.rs:238-460 with the substep dt convention of
+    pipeline.rs:266 (device dt = frame dt / num_solver_iterations).
+    """
+    dim = bodies.dim
+    sub = params.substep().with_dim(dim)
+    n = bodies.num_bodies
+
+    cons = build_constraints(bodies.poses, bodies.vels, mprops, contacts, params)
+    if warmstart_from is not None:
+        cons = transfer_warmstart(cons, warmstart_from, params)
+
+    dynamic = bodies.is_dynamic()
+    # cleanup (solver.wgsl:194-208): dynamic bodies start from their velocity
+    lin = jnp.where(dynamic[:, None], bodies.vels.linear, 0.0)
+    if bodies.vels.angular.ndim == 2:
+        ang = jnp.where(dynamic[:, None], bodies.vels.angular, 0.0)
+    else:
+        ang = jnp.where(dynamic, bodies.vels.angular, 0.0)
+    vels = Velocity(lin, ang)
+
+    # init_solver_vels_inc (solver.wgsl:354-374): gravity per substep
+    g = sub.gravity_array(dim)
+    inc = jnp.where(dynamic[:, None], g[None, :] * sub.dt, 0.0)
+
+    if use_jacobi:
+        csr = build_body_constraint_csr(cons, n)
+        colors = None
+    else:
+        colors = color_constraints(cons, n, max_colors=max_colors)
+        csr = None
+
+    poses = bodies.poses
+    for _ in range(params.num_solver_iterations):
+        vels = Velocity(vels.linear + inc, vels.angular)
+        cons = update_constraints(cons, poses, sub)
+        if not use_jacobi:
+            vels = warmstart_apply(cons, vels)
+            vels, cons = gs_colored_pass(cons, vels, colors,
+                                         max_colors=max_colors)
+        else:
+            vels, cons = jacobi_pass(cons, vels, csr,
+                                     max_per_body=max_per_body)
+        poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
+        cons = remove_cfm_and_bias(cons)
+        if not use_jacobi:
+            vels, cons = gs_colored_pass(cons, vels, colors,
+                                         max_colors=max_colors)
+        else:
+            vels, cons = jacobi_pass(cons, vels, csr,
+                                     max_per_body=max_per_body)
+
+    return poses, vels, cons
+
+
+def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,
+                       params: SimParams) -> ContactConstraints:
+    """Frame-to-frame impulse transfer (≙ dynamics/warmstart.rs:36-97):
+    match new constraints to previous ones by (body_a, body_b) pair and copy
+    impulse accumulators scaled by the warmstart coefficient. Pair matching
+    uses a sort of the previous frame's pairs + searchsorted instead of the
+    reference's per-body hash walk.
+
+    Pair keys pack (body_a, body_b) into one uint32 per 16-bit half when the
+    body count allows, else fall back to f64-free double-key matching via
+    separate sorts — here we use the packed u32 (bodies < 65536; lift when
+    sharding raises the per-shard body count)."""
+    cnew = cons.body_a.shape[0]
+
+    def pack(a, b, valid):
+        key = (a.astype(jnp.uint32) << 16) | (b.astype(jnp.uint32) & 0xFFFF)
+        return jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+
+    key_prev = pack(prev.body_a, prev.body_b, prev.valid)
+    order = jnp.argsort(key_prev)
+    sorted_prev = key_prev[order]
+    key_new = pack(cons.body_a, cons.body_b, cons.valid)
+    pos = jnp.searchsorted(sorted_prev, key_new)
+    pos = jnp.clip(pos, 0, cnew - 1)
+    hit = (sorted_prev[pos] == key_new) & cons.valid
+    src = order[pos]
+    ws = params.warmstart_coefficient
+    n_imp = jnp.where(hit[:, None], prev.n_impulse[src] * ws, cons.n_impulse)
+    n_imp_j = jnp.where(hit[:, None], prev.n_impulse_jacobi[src] * ws,
+                        cons.n_impulse_jacobi)
+    t_imp = jnp.where(hit[:, None, None], prev.t_impulse[src] * ws,
+                      cons.t_impulse)
+    t_imp_j = jnp.where(hit[:, None, None], prev.t_impulse_jacobi[src] * ws,
+                        cons.t_impulse_jacobi)
+    return dataclasses.replace(cons, n_impulse=n_imp, n_impulse_jacobi=n_imp_j,
+                               t_impulse=t_imp, t_impulse_jacobi=t_imp_j)

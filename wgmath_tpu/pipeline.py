@@ -1,0 +1,121 @@
+"""Full physics step pipeline (≙ wgrapier pipeline.rs: GpuPhysicsState +
+GpuPhysicsPipeline::step, pipeline.rs:153-691).
+
+One frame = ONE jitted program: mass-props update → broad phase → narrow
+phase → constraint build (+warmstart transfer) → TGS-soft/Jacobi solve →
+integration. The reference's per-frame CPU/GPU sync points (pair-count
+readback pipeline.rs:488-499, coloring convergence readbacks) are gone: pair
+capacity is a static bucket and coloring is device-resident. The only
+host-side decision is capacity re-bucketing when the device-reported pair
+count overflows — the analog of the reference's reallocate-and-rerun
+(pipeline.rs:505-545), amortized by power-of-two buckets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+from wgmath_tpu.broad_phase.brute_force import find_pairs
+from wgmath_tpu.core.dispatch import capacity_bucket
+from wgmath_tpu.core.profiling import RunStats
+from wgmath_tpu.dynamics.body import Bodies, update_mprops
+from wgmath_tpu.dynamics.constraint import ContactConstraints, Contacts
+from wgmath_tpu.dynamics.solver import solve
+from wgmath_tpu.dynamics.sim_params import SimParams
+from wgmath_tpu.queries.narrow_phase import narrow_phase
+from wgmath_tpu.shapes.shape import ShapeSet, world_aabbs
+
+
+@tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PhysicsState:
+    """Device-side world state (≙ GpuPhysicsState, pipeline.rs:67-150).
+
+    Everything is a pytree of static-shaped arrays, so the whole state is
+    trivially checkpointable (pickle/orbax) — a capability the reference
+    lacks (SURVEY §5 checkpoint/resume: none).
+    """
+
+    bodies: Bodies
+    shapes: ShapeSet
+    prev_constraints: ContactConstraints | None
+    pair_count: jax.Array  # i32 [] — last frame's true pair count
+
+    def tree_flatten(self):
+        return (self.bodies, self.shapes, self.prev_constraints,
+                self.pair_count), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration (shapes the compiled program)."""
+
+    pair_capacity: int = 1024
+    use_jacobi: bool = False
+    max_colors: int = 32
+    max_per_body: int = 32
+    broad_phase_block: int = 256
+
+
+def new_state(bodies: Bodies, shapes: ShapeSet) -> PhysicsState:
+    return PhysicsState(bodies, shapes, None, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
+def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
+         *, warmstart: bool = True) -> PhysicsState:
+    """Advance one frame of length ``params.dt`` (≙ GpuPhysicsPipeline::step).
+
+    Phases mirror pipeline.rs:423-691: mprops update ("step_simulation"
+    pass), broad phase, narrow phase, solver prepare + solve, integration —
+    fused into a single XLA program.
+    """
+    bodies = state.bodies
+    mprops = update_mprops(bodies.poses, bodies.local_mprops)
+
+    mins, maxs = world_aabbs(state.shapes, bodies.poses,
+                             margin=params.prediction_distance)
+    pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
+                       block=config.broad_phase_block)
+    contacts = narrow_phase(bodies.poses, state.shapes, pairs,
+                            params.prediction_distance)
+
+    prev = state.prev_constraints if warmstart else None
+    poses, vels, cons = solve(
+        bodies, mprops, contacts, params,
+        use_jacobi=config.use_jacobi,
+        max_colors=config.max_colors,
+        max_per_body=config.max_per_body,
+        warmstart_from=prev,
+    )
+    new_bodies = Bodies(poses, vels, bodies.local_mprops)
+    return PhysicsState(new_bodies, state.shapes, cons, pairs.count)
+
+
+def step_checked(state: PhysicsState, params: SimParams,
+                 config: PipelineConfig, stats: RunStats | None = None):
+    """Host wrapper: step, then re-bucket pair capacity and re-run if the
+    broad phase overflowed (≙ pipeline.rs:500-545 resize + re-run). Returns
+    ``(state, config)`` — the possibly-enlarged config keys the jit cache."""
+    first_frame = state.prev_constraints is None
+    new = step(state, params, config, warmstart=not first_frame)
+    count = int(new.pair_count)
+    if count > config.pair_capacity:
+        config = dataclasses.replace(
+            config, pair_capacity=capacity_bucket(count))
+        if stats is not None:
+            stats.bump("pair_capacity_regrowths")
+        new = step(state, params, config, warmstart=not first_frame)
+    if stats is not None:
+        stats.bump("steps")
+    return new, config

@@ -1,0 +1,138 @@
+"""Narrow phase: collision pairs → contact manifolds
+(≙ wgparry broad_phase/narrow_phase.rs:49-116 + narrow_phase.wgsl:62-172).
+
+The reference grid-strides over pairs and switches on the shape-type pair
+(ball_ball / ball_convex / cuboid_cuboid / pfm_pfm / mesh variants),
+atomic-appending contacts. TPU-native: evaluate each type-pair kernel as a
+masked vectorized pass over the (fixed-capacity) pair list and select — cheap
+pairs (ball/cuboid analytic) run branch-free; expensive GJK/EPA pairs are
+masked out of the cheap math and vice versa. Contacts reuse the pair slots
+1:1 (one manifold per pair), so no compaction pass is needed; manifolds keep
+up to P points with a per-manifold count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from wgmath_tpu.broad_phase.brute_force import PairList
+from wgmath_tpu.dynamics.constraint import Contacts, max_points
+from wgmath_tpu.geometry import sim as sim_ops
+from wgmath_tpu.geometry.sim import Sim
+from wgmath_tpu.shapes import shape as shp
+
+
+def _take_sim(poses: Sim, idx):
+    return Sim(poses.rotation[idx], poses.translation[idx], poses.scale[idx])
+
+
+def ball_ball(pose_a: Sim, pose_b: Sim, ra, rb):
+    """Single-point ball-ball manifold (≙ wgparry ball.wgsl contact).
+
+    Returns (normal_a_local, point_a_local, dist): the contact normal and
+    point expressed in body A's local frame, signed distance (<0 penetrating).
+    """
+    ra_eff = ra * pose_a.scale
+    rb_eff = rb * pose_b.scale
+    d = pose_b.translation - pose_a.translation
+    center_dist = jnp.linalg.norm(d, axis=-1)
+    dist = center_dist - (ra_eff + rb_eff)
+    # degenerate concentric guard: pick +x
+    safe = center_dist > 1e-9
+    n_world = jnp.where(safe[..., None], d / jnp.maximum(center_dist, 1e-30)[..., None],
+                        jnp.zeros_like(d).at[..., 0].set(1.0))
+    pt_world = pose_a.translation + n_world * ra_eff[..., None]
+    n_local = sim_ops.inv_mul_unit_vec(pose_a, n_world)
+    pt_local = sim_ops.inv_mul_pt(pose_a, pt_world)
+    return n_local, pt_local, dist
+
+
+def ball_cuboid(pose_ball: Sim, pose_box: Sim, radius, half_extents):
+    """Single-point ball-cuboid manifold via point-AABB projection in the
+    box's local frame (≙ wgparry ball_convex projection path)."""
+    c_local = sim_ops.inv_mul_pt(pose_box, pose_ball.translation)
+    he = half_extents
+    clamped = jnp.clip(c_local, -he, he)
+    delta = c_local - clamped
+    d_out = jnp.linalg.norm(delta, axis=-1)
+    outside = d_out > 1e-9
+
+    # inside: push out along the closest face
+    gap = he - jnp.abs(c_local)
+    axis = jnp.argmin(gap, axis=-1)
+    sign = jnp.where(jnp.take_along_axis(c_local, axis[..., None], -1) >= 0, 1.0, -1.0)
+    n_in = jnp.zeros_like(c_local)
+    n_in = jnp.put_along_axis(n_in, axis[..., None], sign, axis=-1, inplace=False)
+    depth_in = -jnp.take_along_axis(gap, axis[..., None], -1)[..., 0]
+
+    n_local_box = jnp.where(outside[..., None],
+                            delta / jnp.maximum(d_out, 1e-30)[..., None], n_in)
+    dist_surface = jnp.where(outside, d_out, depth_in)
+    r_eff = radius * pose_ball.scale
+    dist = dist_surface - r_eff
+    # contact point on the box surface, box-local
+    pt_box_local = jnp.where(outside[..., None], clamped,
+                             c_local - n_in * depth_in[..., None])
+    pt_world = sim_ops.mul_pt(pose_box, pt_box_local)
+    n_world = sim_ops.mul_unit_vec(pose_box, n_local_box)
+    # express in the *ball*'s frame as body A with normal pointing A→B:
+    return pt_world, n_world, dist
+
+
+def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
+                 prediction_distance: float) -> Contacts:
+    """Dispatch contact kernels over the pair list; one manifold per pair."""
+    dim = poses.translation.shape[-1]
+    p_max = max_points(dim)
+    a, b = pairs.body_a, pairs.body_b
+    pose_a = _take_sim(poses, a)
+    pose_b = _take_sim(poses, b)
+    tag_a = shapes.tag[a]
+    tag_b = shapes.tag[b]
+    par_a = shapes.params[a]
+    par_b = shapes.params[b]
+
+    c = pairs.capacity
+    normal_a = jnp.zeros((c, dim), jnp.float32)
+    points_a = jnp.zeros((c, p_max, dim), jnp.float32)
+    dist = jnp.full((c, p_max), 1e9, jnp.float32)
+    num_points = jnp.zeros((c,), jnp.int32)
+
+    # --- ball vs ball -------------------------------------------------------
+    bb = (tag_a == shp.BALL) & (tag_b == shp.BALL)
+    n_l, p_l, d_bb = ball_ball(pose_a, pose_b, par_a[:, 0], par_b[:, 0])
+    normal_a = jnp.where(bb[:, None], n_l, normal_a)
+    points_a = points_a.at[:, 0].set(jnp.where(bb[:, None], p_l, points_a[:, 0]))
+    dist = dist.at[:, 0].set(jnp.where(bb, d_bb, dist[:, 0]))
+    num_points = jnp.where(bb, 1, num_points)
+
+    # --- ball vs cuboid (either order) --------------------------------------
+    for swap in (False, True):
+        if swap:
+            m = (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
+            pb, pc = pose_b, pose_a
+            r = par_b[:, 0]
+            he = par_a[:, :dim]
+        else:
+            m = (tag_a == shp.BALL) & (tag_b == shp.CUBOID)
+            pb, pc = pose_a, pose_b
+            r = par_a[:, 0]
+            he = par_b[:, :dim]
+        pt_w, n_w, d_bc = ball_cuboid(pb, pc, r, he)
+        # n_w points box→ball; contact normal A→B must point from A to B.
+        n_ab = n_w if swap else -n_w
+        n_loc = sim_ops.inv_mul_unit_vec(pose_a, n_ab)
+        # point on A's surface: ball surface (if A is ball) else box surface
+        r_eff = r * pb.scale
+        pt_ball_w = pb.translation - n_w * r_eff[:, None]
+        pt_a_w = pt_w if swap else pt_ball_w
+        p_loc = sim_ops.inv_mul_pt(pose_a, pt_a_w)
+        normal_a = jnp.where(m[:, None], n_loc, normal_a)
+        points_a = points_a.at[:, 0].set(
+            jnp.where(m[:, None], p_loc, points_a[:, 0]))
+        dist = dist.at[:, 0].set(jnp.where(m, d_bc, dist[:, 0]))
+        num_points = jnp.where(m, 1, num_points)
+
+    valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
+    return Contacts(a, b, normal_a, points_a, dist, num_points, valid)

@@ -1,0 +1,154 @@
+"""Shape tagged-union as structure-of-arrays (≙ wgparry shapes/shape.rs:44-622
+GpuShape: all shapes packed in 3×vec4 with the tag bit-cast into a.w).
+
+TPU-native layout: a ``ShapeSet`` holds one i32 tag array plus one f32 param
+matrix; per-type dispatch is masked vectorized evaluation (cheap formulas) or
+pair-type partitioning (expensive narrow-phase kernels) rather than the
+reference's per-thread WGSL switch. Mesh-backed shapes (polyline/trimesh/
+convex) reference shared vertex/index buffers via (offset, count) params —
+same flattening as shape.rs:307-480.
+
+Param layout per tag (params[:, 0:8]):
+- BALL:     [radius]
+- CUBOID:   [hx, hy(, hz)]
+- CAPSULE:  [half_height, radius]           (segment along local Y)
+- CONE:     [half_height, radius]           (3D; apex +Y)
+- CYLINDER: [half_height, radius]           (3D)
+- SEGMENT:  [ax, ay, az, bx, by, bz]
+- TRIANGLE: vertex buffer ref [first_vtx, 3]
+- POLYLINE / TRIMESH / CONVEX: [first_vtx, num_vtx, first_idx, num_idx]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+from wgmath_tpu.geometry import sim as sim_ops
+from wgmath_tpu.geometry.sim import Sim
+
+BALL = 0
+CUBOID = 1
+CAPSULE = 2
+CONE = 3
+CYLINDER = 4
+SEGMENT = 5
+TRIANGLE = 6
+POLYLINE = 7
+TRIMESH = 8
+CONVEX = 9
+
+NUM_PARAMS = 8
+
+
+@tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShapeSet:
+    """All collider shapes, SoA (≙ GpuShape tagged union + ShapeBuffers)."""
+
+    tag: jax.Array  # i32 [N]
+    params: jax.Array  # f32 [N, NUM_PARAMS]
+    # shared flattened mesh storage (≙ ShapeBuffers vertex/index buffers)
+    vertices: jax.Array  # f32 [V, dim]
+    indices: jax.Array  # i32 [I, dim] (triangles in 3D, segments in 2D)
+
+    def tree_flatten(self):
+        return (self.tag, self.params, self.vertices, self.indices), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_shapes(self):
+        return self.tag.shape[0]
+
+    @staticmethod
+    def balls(radii, dim: int = 3) -> "ShapeSet":
+        radii = jnp.asarray(radii, jnp.float32)
+        n = radii.shape[0]
+        params = jnp.zeros((n, NUM_PARAMS), jnp.float32).at[:, 0].set(radii)
+        return ShapeSet(jnp.full((n,), BALL, jnp.int32), params,
+                        jnp.zeros((0, dim), jnp.float32),
+                        jnp.zeros((0, dim), jnp.int32))
+
+    @staticmethod
+    def cuboids(half_extents) -> "ShapeSet":
+        he = jnp.asarray(half_extents, jnp.float32)
+        n, dim = he.shape
+        params = jnp.zeros((n, NUM_PARAMS), jnp.float32).at[:, :dim].set(he)
+        return ShapeSet(jnp.full((n,), CUBOID, jnp.int32), params,
+                        jnp.zeros((0, dim), jnp.float32),
+                        jnp.zeros((0, dim), jnp.int32))
+
+    @staticmethod
+    def concat(*sets: "ShapeSet") -> "ShapeSet":
+        """Concatenate shape sets, rebasing mesh buffer references."""
+        tags, params, verts, idxs = [], [], [], []
+        v_off = 0
+        i_off = 0
+        for s in sets:
+            p = s.params
+            is_mesh = (s.tag >= POLYLINE) | (s.tag == TRIANGLE)
+            p = p.at[:, 0].add(jnp.where(is_mesh, v_off, 0.0))
+            p = p.at[:, 2].add(jnp.where(s.tag >= POLYLINE, i_off, 0.0))
+            tags.append(s.tag)
+            params.append(p)
+            verts.append(s.vertices)
+            idx = s.indices + v_off if s.indices.size else s.indices
+            idxs.append(idx)
+            v_off += s.vertices.shape[0]
+            i_off += s.indices.shape[0]
+        return ShapeSet(jnp.concatenate(tags), jnp.concatenate(params),
+                        jnp.concatenate(verts), jnp.concatenate(idxs))
+
+
+def local_aabb_half_extents(shapes: ShapeSet, dim: int) -> jax.Array:
+    """Conservative symmetric local-space AABB half extents per shape [N, dim].
+
+    Exact for ball/cuboid; conservative (height+radius box) for capsule,
+    cone, cylinder. Mesh shapes are handled by their precomputed bound stored
+    in params[4:4+dim] (filled at build time).
+    """
+    p = shapes.params
+    tag = shapes.tag
+    r = p[:, 0:1]
+    ball_he = jnp.repeat(r, dim, axis=1)
+    cuboid_he = p[:, :dim]
+    hh = p[:, 0:1]
+    rad = p[:, 1:2]
+    if dim == 3:
+        capsule_he = jnp.concatenate([rad, hh + rad, rad], axis=1)
+        round_he = jnp.concatenate([rad, hh, rad], axis=1)
+    else:
+        capsule_he = jnp.concatenate([rad, hh + rad], axis=1)
+        round_he = jnp.concatenate([rad, hh], axis=1)
+    mesh_he = p[:, 4:4 + dim]
+    he = jnp.where((tag == BALL)[:, None], ball_he,
+         jnp.where((tag == CUBOID)[:, None], cuboid_he,
+         jnp.where((tag == CAPSULE)[:, None], capsule_he,
+         jnp.where(((tag == CONE) | (tag == CYLINDER))[:, None], round_he,
+                   mesh_he))))
+    return he
+
+
+def world_aabbs(shapes: ShapeSet, poses: Sim, *, margin: float = 0.0):
+    """(mins, maxs) world AABBs [N, dim] (≙ wgparry bounding_volumes/aabb.wgsl
+    per-shape aabb dispatch). Rotation handled conservatively by rotating the
+    symmetric local box: world half-extent = |R| · he (exact for balls)."""
+    dim = poses.translation.shape[-1]
+    he = local_aabb_half_extents(shapes, dim) * poses.scale[:, None]
+    if dim == 3:
+        from wgmath_tpu.geometry import quat
+
+        rmat = jnp.abs(quat.to_matrix(poses.rotation))
+    else:
+        from wgmath_tpu.geometry import rot2
+
+        rmat = jnp.abs(rot2.to_matrix(poses.rotation))
+    world_he = jnp.einsum("nij,nj->ni", rmat, he) + margin
+    center = poses.translation
+    return center - world_he, center + world_he
