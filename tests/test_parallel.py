@@ -1,0 +1,54 @@
+"""Sharded-step tests on the virtual 8-device CPU mesh: the sharded pipeline
+must match the single-device pipeline bit-for-bit (same math, different
+partitioning)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgmath_tpu.dynamics import SimParams
+from wgmath_tpu.parallel import body_mesh, make_sharded_step, shard_state
+from wgmath_tpu.pipeline import PipelineConfig, step
+from wgmath_tpu.scenes.builders import balls
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_sharded_step_matches_single_device(n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    params = SimParams()
+    config = PipelineConfig(pair_capacity=2048, max_colors=8, max_per_body=16,
+                            broad_phase_block=64)
+    state = balls(63, dim=3)  # 64 bodies incl. ground; pads to 64 for 8 dev
+
+    ref = step(state, params, config, warmstart=False)
+
+    mesh = body_mesh(n_dev)
+    bodies, shapes = shard_state(state, mesh)
+    fn = make_sharded_step(mesh, params, config)
+    out_bodies, pair_count = fn(bodies, shapes)
+
+    n = state.bodies.num_bodies
+    np.testing.assert_allclose(
+        np.asarray(out_bodies.poses.translation)[:n],
+        np.asarray(ref.bodies.poses.translation), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_bodies.vels.linear)[:n],
+        np.asarray(ref.bodies.vels.linear), rtol=1e-5, atol=1e-6)
+    assert int(pair_count) == int(ref.pair_count)
+
+
+def test_sharded_multi_step_stable():
+    params = SimParams()
+    config = PipelineConfig(pair_capacity=2048, max_colors=8, max_per_body=16,
+                            broad_phase_block=64)
+    state = balls(63, dim=3)
+    mesh = body_mesh(8)
+    bodies, shapes = shard_state(state, mesh)
+    fn = make_sharded_step(mesh, params, config)
+    for _ in range(5):
+        bodies, _ = fn(bodies, shapes)
+    assert np.all(np.isfinite(np.asarray(bodies.poses.translation)))
