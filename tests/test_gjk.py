@@ -1,0 +1,119 @@
+"""GJK distance tests vs analytic/NumPy oracles (≙ wgparry gjk.wgsl tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgmath_tpu.geometry import quat
+from wgmath_tpu.geometry.sim import Sim
+from wgmath_tpu.queries.gjk import gjk_distance, pfm_contact
+from wgmath_tpu.shapes import shape as shp
+
+
+def _pose(trans, rot=None):
+    trans = jnp.asarray(trans, jnp.float32)
+    n = trans.shape[0]
+    if rot is None:
+        rot = jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1))
+    return Sim(jnp.asarray(rot), trans, jnp.ones((n,)))
+
+
+def _params(**kw):
+    p = np.zeros((kw.pop("n"), 8), np.float32)
+    for i, v in kw.items():
+        p[:, int(i[1:])] = v
+    return jnp.asarray(p)
+
+
+def test_gjk_ball_ball(rng=np.random.default_rng(5)):
+    n = 200
+    ca = rng.normal(size=(n, 3)).astype(np.float32) * 3
+    cb = rng.normal(size=(n, 3)).astype(np.float32) * 3
+    ra = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    rb = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    tag = jnp.full((n,), shp.BALL, jnp.int32)
+    pa = jnp.zeros((n, 8)).at[:, 0].set(ra)
+    pb = jnp.zeros((n, 8)).at[:, 0].set(rb)
+    normal, pt_a, dist = pfm_contact(tag, pa, _pose(ca), tag, pb, _pose(cb))
+    want = np.linalg.norm(cb - ca, axis=-1) - ra - rb
+    sep = want > 0.05
+    np.testing.assert_allclose(np.asarray(dist)[sep], want[sep],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gjk_cuboid_cuboid_axis_aligned():
+    # two unit boxes 3 apart on x → distance 2
+    tag = jnp.full((2,), shp.CUBOID, jnp.int32)
+    par = jnp.zeros((2, 8)).at[:, :3].set(0.5)
+    pose_a = _pose([[0.0, 0, 0], [0.0, 0, 0]])
+    pose_b = _pose([[3.0, 0, 0], [0.0, 3.0, 0]])
+    res = gjk_distance(tag, par, pose_a, tag, par, pose_b)
+    np.testing.assert_allclose(np.asarray(res.distance), 2.0, rtol=1e-4)
+    np.testing.assert_allclose(np.abs(np.asarray(res.normal[0])), [1, 0, 0],
+                               atol=1e-4)
+
+
+def test_gjk_capsule_capsule_vs_segment_oracle(rng=np.random.default_rng(9)):
+    n = 100
+    # random capsule poses; oracle: segment-segment distance − radii
+    ca = rng.normal(size=(n, 3)).astype(np.float32) * 2
+    cb = rng.normal(size=(n, 3)).astype(np.float32) * 2
+    qa = rng.normal(size=(n, 4)).astype(np.float32)
+    qa /= np.linalg.norm(qa, -1, keepdims=True)
+    qb = rng.normal(size=(n, 4)).astype(np.float32)
+    qb /= np.linalg.norm(qb, -1, keepdims=True)
+    hh, r = 0.7, 0.2
+    tag = jnp.full((n,), shp.CAPSULE, jnp.int32)
+    par = jnp.zeros((n, 8)).at[:, 0].set(hh).at[:, 1].set(r)
+    normal, pt_a, dist = pfm_contact(tag, par, _pose(ca, qa),
+                                     tag, par, _pose(cb, qb))
+
+    def rot(q, v):
+        import numpy as _np
+
+        u, w = q[:, :3], q[:, 3:4]
+        return v + 2 * (w * _np.cross(u, v) + _np.cross(u, _np.cross(u, v)))
+
+    y = np.asarray([[0.0, hh, 0.0]], np.float32)
+    a0, a1 = ca - rot(qa, y), ca + rot(qa, y)
+    b0, b1 = cb - rot(qb, y), cb + rot(qb, y)
+
+    # dense-sample segment-segment distance oracle
+    ts = np.linspace(0, 1, 60, dtype=np.float32)
+    pa_s = a0[:, None] + (a1 - a0)[:, None] * ts[None, :, None]
+    pb_s = b0[:, None] + (b1 - b0)[:, None] * ts[None, :, None]
+    d2 = np.linalg.norm(pa_s[:, :, None] - pb_s[:, None, :], axis=-1)
+    oracle = d2.min(axis=(1, 2)) - 2 * r
+    sep = oracle > 0.05
+    np.testing.assert_allclose(np.asarray(dist)[sep], oracle[sep],
+                               rtol=2e-2, atol=5e-3)
+
+
+def test_gjk_ball_cuboid_vs_projection():
+    # ball at distance from a rotated box: dist = |proj(center) − center| − r
+    q = quat.from_scaled_axis(jnp.asarray([[0.3, 0.5, -0.2]]))
+    tag_a = jnp.full((1,), shp.BALL, jnp.int32)
+    tag_b = jnp.full((1,), shp.CUBOID, jnp.int32)
+    pa = jnp.zeros((1, 8)).at[:, 0].set(0.25)
+    pb = jnp.zeros((1, 8)).at[:, :3].set(jnp.asarray([0.5, 0.7, 0.3]))
+    center = jnp.asarray([[2.0, 1.5, -1.0]])
+    pose_a = _pose(center)
+    pose_b = Sim(q, jnp.zeros((1, 3)), jnp.ones((1,)))
+    _, _, dist = pfm_contact(tag_a, pa, pose_a, tag_b, pb, pose_b)
+
+    from wgmath_tpu.queries.projection import project_cuboid
+    from wgmath_tpu.geometry import sim as sim_ops
+
+    c_local = sim_ops.inv_mul_pt(pose_b, center)
+    res = project_cuboid(c_local, jnp.asarray([[0.5, 0.7, 0.3]]), boundary=False)
+    want = float(jnp.linalg.norm(res.point - c_local)) - 0.25
+    np.testing.assert_allclose(float(dist[0]), want, rtol=1e-3, atol=1e-3)
+
+
+def test_gjk_intersecting_flag():
+    tag = jnp.full((1,), shp.CUBOID, jnp.int32)
+    par = jnp.zeros((1, 8)).at[:, :3].set(0.5)
+    res = gjk_distance(tag, par, _pose([[0.0, 0, 0]]),
+                       tag, par, _pose([[0.3, 0.2, 0.1]]))
+    assert bool(res.intersecting[0])
+    assert float(res.distance[0]) == 0.0

@@ -207,3 +207,37 @@ def test_coloring_and_csr_invariants():
             cid, side = v >> 1, v & 1
             assert (np.asarray(cons.body_a)[cid] == b if side == 0
                     else np.asarray(cons.body_b)[cid] == b)
+
+
+def test_box_stack_stable():
+    """Three cuboids stacked on the ground stay put (SAT manifold path)."""
+    from wgmath_tpu.scenes.builders import _merge_mprops as _mm  # reuse
+
+    params = SimParams()
+    he = jnp.asarray([[0.5, 0.5, 0.5]] * 3)
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.asarray([[20.0, 1.0, 20.0]])),
+        ShapeSet.cuboids(he),
+    )
+    trans = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.5, 0.0],
+                         [0.0, 1.52, 0.0], [0.0, 2.54, 0.0]], jnp.float32)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (4, 1)), trans)
+    mp = _mm(
+        cuboid_local_mprops(jnp.asarray([[20.0, 1.0, 20.0]]),
+                            dynamic=jnp.asarray([False])),
+        cuboid_local_mprops(he),
+    )
+    bodies = Bodies(poses, Velocity.zero(4, 3), mp)
+    state = new_state(bodies, shapes)
+    cfg = CFG
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    z = np.asarray(state.bodies.poses.translation[:, 1])
+    assert abs(z[1] - 0.5) < 0.05, z
+    assert abs(z[2] - 1.5) < 0.08, z
+    assert abs(z[3] - 2.5) < 0.12, z
+    v = np.asarray(state.bodies.vels.linear)
+    assert np.max(np.abs(v[1:])) < 0.2, v
+    # boxes should not have toppled
+    q = np.asarray(state.bodies.poses.rotation[1:])
+    assert np.all(np.abs(q[:, :3]) < 0.1), q

@@ -134,5 +134,17 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         dist = dist.at[:, 0].set(jnp.where(m, d_bc, dist[:, 0]))
         num_points = jnp.where(m, 1, num_points)
 
+    # --- cuboid vs cuboid (SAT + face clipping, 3D) --------------------------
+    if dim == 3:
+        from wgmath_tpu.queries.sat import cuboid_cuboid_manifold
+
+        cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
+        n_l, pts_l, d_cc, np_cc = cuboid_cuboid_manifold(
+            pose_a, pose_b, par_a[:, :3], par_b[:, :3], prediction_distance)
+        normal_a = jnp.where(cc[:, None], n_l, normal_a)
+        points_a = jnp.where(cc[:, None, None], pts_l, points_a)
+        dist = jnp.where(cc[:, None], d_cc, dist)
+        num_points = jnp.where(cc, np_cc, num_points)
+
     valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
     return Contacts(a, b, normal_a, points_a, dist, num_points, valid)

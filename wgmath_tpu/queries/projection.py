@@ -54,7 +54,7 @@ def project_ball(pt, radius, *, boundary: bool):
     d = _norm(pt)
     inside = d <= radius
     on_sphere = _unit(pt) * radius
-    point = jnp.where((inside & ~boundary)[..., None], pt, on_sphere)
+    point = on_sphere if boundary else jnp.where(inside[..., None], pt, on_sphere)
     return Projection(point, inside)
 
 
@@ -89,7 +89,8 @@ def project_capsule(pt, half_height, radius, *, boundary: bool):
     dist = _norm(d)
     inside = dist <= radius
     on_surface = seg_pt + _unit(d) * radius
-    point = jnp.where((inside & ~boundary)[..., None], pt, on_surface)
+    point = (on_surface if boundary
+             else jnp.where(inside[..., None], pt, on_surface))
     return Projection(point, inside)
 
 

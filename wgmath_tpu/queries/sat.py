@@ -82,7 +82,9 @@ def cuboid_cuboid_manifold(pose_a: Sim, pose_b: Sim, he_a: jax.Array,
     best_edge = jnp.argmax(edge_sep, axis=-1)
     best_edge_sep = jnp.take_along_axis(edge_sep, best_edge[:, None], -1)[:, 0]
 
-    use_edge = best_edge_sep * _FACE_BIAS > best_face_sep
+    # prefer faces: edge wins only if meaningfully better (sign-safe form —
+    # a multiplicative bias alone flips meaning for negative separations)
+    use_edge = best_edge_sep > best_face_sep * _FACE_BIAS + 1.0e-3
     separation = jnp.maximum(best_face_sep, jnp.where(use_edge, best_edge_sep,
                                                       -jnp.inf))
 
@@ -212,20 +214,20 @@ def _face_clip_manifold(r, t, he_a, he_b, normal, best_face, prediction):
 
     # distances to reference face plane (positive outside)
     rel = poly - ref_center[:, None, :]
-    d = jnp.einsum("nkd,nd->nk", rel, ref_n * jnp.where(a_is_ref, 1.0, 1.0)[:, None])
-    # ref_n is the ref box outward normal; separation along A→B normal:
-    # contact dist for a point p on incident face = (p−face)·ref_n
+    # contact dist for a point p on the incident face = (p−face)·ref_n
+    d = jnp.einsum("nkd,nd->nk", rel, ref_n)
     slot = jnp.arange(max_v)
     valid = slot[None, :] < count[:, None]
     keep = valid & (d < prediction)
 
-    # reduce to 4: extremes along ±t1, ±t2 among kept, plus deepest
+    # reduce to 4: extremes along the four face-plane diagonals (unique for
+    # any convex polygon with ≥4 spread vertices; ties collapse by dedupe)
     score_base = jnp.where(keep, 0.0, -jnp.inf)
     c1 = jnp.einsum("nkd,nd->nk", rel, t1)
     c2 = jnp.einsum("nkd,nd->nk", rel, t2)
     picks = []
-    for score in (score_base - d, score_base + c1, score_base - c1,
-                  score_base + c2):
+    for score in (score_base + c1 + c2, score_base + c1 - c2,
+                  score_base - c1 - c2, score_base - c1 + c2):
         picks.append(jnp.argmax(score, axis=-1))
     picks = jnp.stack(picks, axis=1)  # [N,4]
 
@@ -248,6 +250,11 @@ def _face_clip_manifold(r, t, he_a, he_b, normal, best_face, prediction):
     order = jnp.argsort(jnp.where(valid_pts, 0, 1), axis=-1, stable=True)
     pts = jnp.take_along_axis(pts, order[:, :, None].repeat(3, -1), axis=1)
     dsel = jnp.take_along_axis(dsel, order, axis=1)
+    # convention (≙ contact.points_a on body A's surface): when the reference
+    # face is A's, clipped points sit on B's incident face at depth d — slide
+    # them up along the face normal onto A's surface
+    shift = jnp.where((dsel < 1e8) & a_is_ref[:, None], dsel, 0.0)
+    pts = pts - ref_n[:, None, :] * shift[:, :, None]
     return pts, dsel, num
 
 
