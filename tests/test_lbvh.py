@@ -1,0 +1,86 @@
+"""LBVH tests: morton bit utilities + tree validity + pair sets vs the
+brute-force oracle (≙ wgparry lbvh.rs:330+ tree/pair validation tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgmath_tpu.broad_phase.lbvh import build, find_pairs_lbvh
+from wgmath_tpu.broad_phase.morton import clz32, morton_codes
+
+
+def test_clz32():
+    xs = np.asarray([0, 1, 2, 3, 255, 256, 2**16, 2**30, 2**31, 2**32 - 1],
+                    np.uint32)
+    got = np.asarray(clz32(jnp.asarray(xs)))
+    want = np.asarray([32 if x == 0 else 32 - int(x).bit_length() for x in xs])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_morton_orders_locally():
+    # morton codes of a line of points are monotone
+    pts = np.stack([np.linspace(0, 1, 64)] * 3, -1).astype(np.float32)
+    codes = np.asarray(morton_codes(jnp.asarray(pts), jnp.zeros(3), jnp.ones(3)))
+    assert np.all(np.diff(codes.astype(np.int64)) >= 0)
+
+
+def _tree_leaf_coverage(tree):
+    """Every leaf is reachable exactly once from the root."""
+    n = tree.num_leaves
+    left = np.asarray(tree.left)
+    right = np.asarray(tree.right)
+    seen = []
+    stack = [0] if n > 1 else [n - 1]
+    visited = 0
+    while stack:
+        node = stack.pop()
+        visited += 1
+        assert visited < 4 * n, "cycle in tree"
+        if node >= n - 1:
+            seen.append(node - (n - 1))
+        else:
+            stack.append(int(left[node]))
+            stack.append(int(right[node]))
+    return sorted(seen)
+
+
+@pytest.mark.parametrize("n", [2, 3, 17, 256])
+def test_lbvh_topology_valid(n):
+    rng = np.random.default_rng(n)
+    centers = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    he = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    tree = build(jnp.asarray(centers - he), jnp.asarray(centers + he))
+    assert _tree_leaf_coverage(tree) == list(range(n))
+    # root AABB == domain AABB
+    np.testing.assert_allclose(np.asarray(tree.node_min[0]),
+                               (centers - he).min(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tree.node_max[0]),
+                               (centers + he).max(0), rtol=1e-6)
+    # internal AABBs contain children
+    left = np.asarray(tree.left)
+    right = np.asarray(tree.right)
+    nmin = np.asarray(tree.node_min)
+    nmax = np.asarray(tree.node_max)
+    for i in range(n - 1):
+        for c in (left[i], right[i]):
+            assert np.all(nmin[i] <= nmin[c] + 1e-6)
+            assert np.all(nmax[i] >= nmax[c] - 1e-6)
+
+
+@pytest.mark.parametrize("n", [50, 300])
+def test_lbvh_pairs_match_bruteforce(n):
+    rng = np.random.default_rng(n)
+    centers = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    he = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    mins, maxs = centers - he, centers + he
+    pl = find_pairs_lbvh(jnp.asarray(mins), jnp.asarray(maxs), capacity=8192)
+    got = {(int(a), int(b)) for a, b, v in
+           zip(np.asarray(pl.body_a), np.asarray(pl.body_b),
+               np.asarray(pl.valid)) if v}
+    want = set()
+    for i in range(n):
+        ov = np.all((mins[i] <= maxs) & (mins <= maxs[i]), axis=-1)
+        for j in np.nonzero(ov)[0]:
+            if i != j:
+                want.add((min(i, int(j)), max(i, int(j))))
+    assert got == want

@@ -144,22 +144,36 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
 # ---------------------------------------------------------------------------
 
 
-def _point_updates(cons, cid, active, v1l, v1a, v2l, v2a,
+_VIEW_FIELDS = ("dir_a", "tangent_a", "im_a", "im_b", "cfm_factor", "limit",
+                "num_points", "n_torque_a", "n_torque_b", "n_ii_torque_a",
+                "n_ii_torque_b", "n_rhs", "n_r", "t_torque_a", "t_torque_b",
+                "t_ii_torque_a", "t_ii_torque_b", "t_rhs", "t_r")
+
+
+def _view(cons, cid):
+    """Gather only the solver-read constraint fields at ``cid``."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(**{f: getattr(cons, f)[cid] for f in _VIEW_FIELDS})
+
+
+def _point_updates(cons, active, v1l, v1a, v2l, v2a,
                    prev_n_imp, prev_t_imp, p_max, dim):
     """Run the normal+friction impulse updates for every contact point,
     sequentially over the (static) point axis, vectorized over constraints.
 
-    ``cid`` indexes constraint storage (identity for GS, gathered for
-    Jacobi). Returns new per-point impulses and the locally-updated body
-    velocities (≙ solver.wgsl step_gauss_seidel inner loop:579-660).
+    ``cons`` fields must already be at the working axis (the full constraint
+    buffer for GS; a ``_view`` gather for Jacobi). Returns new per-point
+    impulses and the locally-updated body velocities
+    (≙ solver.wgsl step_gauss_seidel inner loop:579-660).
     """
-    dir_a = cons.dir_a[cid]
-    tangents = cons.tangent_a[cid]  # [M, S, dim]
-    im_a = cons.im_a[cid]
-    im_b = cons.im_b[cid]
-    cfm = cons.cfm_factor[cid]
-    friction = cons.limit[cid]
-    num_points = cons.num_points[cid]
+    dir_a = cons.dir_a
+    tangents = cons.tangent_a  # [M, S, dim]
+    im_a = cons.im_a
+    im_b = cons.im_b
+    cfm = cons.cfm_factor
+    friction = cons.limit
+    num_points = cons.num_points
     s_len = tangents.shape[-2]
 
     new_n = []
@@ -169,12 +183,12 @@ def _point_updates(cons, cid, active, v1l, v1a, v2l, v2a,
         m = pt_active.astype(v1l.dtype)
 
         # --- normal part ---
-        td_a = cons.n_torque_a[cid][:, k]
-        td_b = cons.n_torque_b[cid][:, k]
-        iitd_a = cons.n_ii_torque_a[cid][:, k]
-        iitd_b = cons.n_ii_torque_b[cid][:, k]
-        rhs = cons.n_rhs[cid][:, k]
-        r = cons.n_r[cid][:, k]
+        td_a = cons.n_torque_a[:, k]
+        td_b = cons.n_torque_b[:, k]
+        iitd_a = cons.n_ii_torque_a[:, k]
+        iitd_b = cons.n_ii_torque_b[:, k]
+        rhs = cons.n_rhs[:, k]
+        r = cons.n_r[:, k]
         prev = prev_n_imp[:, k]
 
         dvel = (jnp.sum(dir_a * v1l, axis=-1) + gdot(td_a, v1a)
@@ -190,12 +204,12 @@ def _point_updates(cons, cid, active, v1l, v1a, v2l, v2a,
         new_n.append(new_imp)
 
         # --- tangent (friction) part ---
-        t_td_a = cons.t_torque_a[cid][:, k]  # [M, S(, 3)]
-        t_td_b = cons.t_torque_b[cid][:, k]
-        t_iitd_a = cons.t_ii_torque_a[cid][:, k]
-        t_iitd_b = cons.t_ii_torque_b[cid][:, k]
-        t_rhs = cons.t_rhs[cid][:, k]  # [M, S]
-        t_r = cons.t_r[cid][:, k]  # [M, 3] or [M, 1]
+        t_td_a = cons.t_torque_a[:, k]  # [M, S(, 3)]
+        t_td_b = cons.t_torque_b[:, k]
+        t_iitd_a = cons.t_ii_torque_a[:, k]
+        t_iitd_b = cons.t_ii_torque_b[:, k]
+        t_rhs = cons.t_rhs[:, k]  # [M, S]
+        t_r = cons.t_r[:, k]  # [M, 3] or [M, 1]
         t_prev = prev_t_imp[:, k]  # [M, S]
 
         if dim == 2:
@@ -291,7 +305,6 @@ def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
     """One full PGS sweep: sequentially over colors, in parallel within."""
     dim = cons.dim
     p_max = cons.n_impulse.shape[1]
-    cid = jnp.arange(cons.body_a.shape[0], dtype=jnp.int32)
 
     def one_color(color, carry):
         lin, ang, n_imp, t_imp = carry
@@ -299,9 +312,8 @@ def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
         v1l, v1a = lin[cons.body_a], ang[cons.body_a]
         v2l, v2a = lin[cons.body_b], ang[cons.body_b]
         i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
-        work = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
         new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
-            work, cid, active, v1l, v1a, v2l, v2a, n_imp, t_imp, p_max, dim)
+            cons, active, v1l, v1a, v2l, v2a, n_imp, t_imp, p_max, dim)
         n_imp = jnp.where(active[:, None], new_n, n_imp)
         t_imp = jnp.where(active[:, None, None], new_t, t_imp)
         lin = lin.at[cons.body_a].add(v1l - i1l).at[cons.body_b].add(v2l - i2l)
@@ -355,7 +367,8 @@ def jacobi_pass(cons: ContactConstraints, vels: Velocity, csr,
         prev_n = jnp.where(is_a[:, None], n_imp[cid], n_imp_j[cid])
         prev_t = jnp.where(is_a[:, None, None], t_imp[cid], t_imp_j[cid])
         new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
-            cons, cid, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
+            _view(cons, cid), active, v1l, v1a, v2l, v2a, prev_n, prev_t,
+            p_max, dim)
 
         # store impulses on own side only (each (cid, side) owned by one body)
         drop = c  # out-of-range → dropped
@@ -428,8 +441,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         colors = color_constraints(cons, n, max_colors=max_colors)
         csr = None
 
-    poses = bodies.poses
-    for _ in range(params.num_solver_iterations):
+    def substep(_, carry):
+        vels, poses, cons = carry
         vels = Velocity(vels.linear + inc, vels.angular)
         cons = update_constraints(cons, poses, sub)
         if not use_jacobi:
@@ -447,7 +460,10 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         else:
             vels, cons = jacobi_pass(cons, vels, csr,
                                      max_per_body=max_per_body)
+        return vels, poses, cons
 
+    vels, poses, cons = jax.lax.fori_loop(
+        0, params.num_solver_iterations, substep, (vels, bodies.poses, cons))
     return poses, vels, cons
 
 

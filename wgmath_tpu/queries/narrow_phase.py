@@ -146,5 +146,24 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         dist = jnp.where(cc[:, None], d_cc, dist)
         num_points = jnp.where(cc, np_cc, num_points)
 
+    # --- generic support-mapped pairs via GJK (capsule/cylinder/cone/…) ------
+    # ≙ narrow_phase.wgsl pfm_pfm fallback: any pair not handled by an
+    # analytic kernel above. Single-point manifold.
+    if dim == 3:
+        from wgmath_tpu.queries.gjk import pfm_contact
+
+        handled = bb
+        handled |= (tag_a == shp.BALL) & (tag_b == shp.CUBOID)
+        handled |= (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
+        handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
+        supported = (tag_a <= shp.CYLINDER) & (tag_b <= shp.CYLINDER)
+        pfm = ~handled & supported & pairs.valid
+        n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b, pose_b)
+        normal_a = jnp.where(pfm[:, None], n_p, normal_a)
+        points_a = points_a.at[:, 0].set(
+            jnp.where(pfm[:, None], p_p, points_a[:, 0]))
+        dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
+        num_points = jnp.where(pfm, 1, num_points)
+
     valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
     return Contacts(a, b, normal_a, points_a, dist, num_points, valid)
