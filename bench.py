@@ -37,11 +37,14 @@ def _sync(x):
     return float(jnp.ravel(arr)[0])
 
 
-def slope_time(make_fn, args, *, k_small=4, k_large=24, reps=3):
+def slope_time(make_fn, args, *, k_small=None, k_large=None, reps=3,
+               target_s=0.4):
     """Seconds per iteration via two-point slope timing.
 
     ``make_fn(k)`` must return a jitted callable running k *chained*
-    iterations of the kernel (so XLA cannot hoist or dedupe them).
+    iterations of the kernel (so XLA cannot hoist or dedupe them). When k's
+    are not given, a pilot run sizes them so the long run dominates the
+    ~30 ms tunnel latency.
     """
 
     def run(k):
@@ -54,6 +57,12 @@ def slope_time(make_fn, args, *, k_small=4, k_large=24, reps=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    if k_large is None:
+        pilot_k = 16
+        t_pilot = run(pilot_k)
+        per_it = max(t_pilot / pilot_k, 1e-7)
+        k_large = int(min(max(target_s / per_it, 32), 4096))
+        k_small = max(k_large // 8, 1)
     t_small = run(k_small)
     t_large = run(k_large)
     return max((t_large - t_small) / (k_large - k_small), 1e-9)
@@ -222,16 +231,20 @@ def bench_rays():
     return {"raycast_100k_mrays_s": n / t / 1e6}
 
 
-def bench_physics(n_bodies=10_000):
+def bench_physics(n_bodies=10_000, settle_frames=90):
+    """Times the *settled* contact-rich regime: the pile is stepped until it
+    rests (capacity re-buckets as contacts appear), then steady-state steps
+    are slope-timed — the honest hot path for benchmark config 5."""
     from wgmath_tpu.dynamics import SimParams
     from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
     from wgmath_tpu.scenes.builders import balls
 
     params = SimParams()
-    config = PipelineConfig(pair_capacity=65536, max_colors=16,
+    config = PipelineConfig(pair_capacity=4096, max_colors=16,
                             broad_phase_block=512)
     state = balls(n_bodies, dim=3)
-    state, config = step_checked(state, params, config)  # settle capacity
+    for _ in range(settle_frames):
+        state, config = step_checked(state, params, config)
 
     def make(k):
         def f(state):
@@ -240,8 +253,10 @@ def bench_physics(n_bodies=10_000):
             return state.bodies.poses.translation
         return f
 
-    t = slope_time(make, (state,), k_small=1, k_large=6, reps=2)
-    return {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t}
+    t = slope_time(make, (state,), k_small=2, k_large=12, reps=2)
+    return {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
+            "physics_pair_capacity": float(config.pair_capacity),
+            "physics_pairs": float(int(state.pair_count))}
 
 
 def main():

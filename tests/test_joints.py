@@ -1,0 +1,100 @@
+"""Impulse-joint tests: pendulum constraint preservation, fixed-joint
+rigidity, revolute axis restriction, motor drive (≙ the reference's joint
+demos: joint_ball/fixed/prismatic/revolute examples as behavioral oracles)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wgmath_tpu.dynamics import Bodies, SimParams, Velocity, ball_local_mprops
+from wgmath_tpu.dynamics.joint import (
+    fixed_joints,
+    revolute_joints,
+    spherical_joints,
+)
+from wgmath_tpu.geometry import sim as sim_ops
+from wgmath_tpu.pipeline import PipelineConfig, new_state, step_checked
+from wgmath_tpu.shapes import ShapeSet
+
+CFG = PipelineConfig(pair_capacity=64, max_colors=8, broad_phase_block=64)
+
+
+def _two_ball_world(pos_b, dynamic_a=False):
+    n = 2
+    shapes = ShapeSet.balls(jnp.asarray([0.2, 0.2]))
+    poses = sim_ops.from_parts(
+        jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1)),
+        jnp.asarray([[0.0, 0.0, 0.0], pos_b], jnp.float32))
+    mp = ball_local_mprops(jnp.asarray([0.2, 0.2]),
+                           dynamic=jnp.asarray([dynamic_a, True]))
+    return Bodies(poses, Velocity.zero(n, 3), mp), shapes
+
+
+def test_spherical_pendulum_preserves_anchor():
+    bodies, shapes = _two_ball_world([1.0, 0.0, 0.0])
+    joints = spherical_joints([0], [1], [[0.0, 0.0, 0.0]], [[-1.0, 0.0, 0.0]],
+                              dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    for _ in range(90):
+        state, cfg = step_checked(state, params, cfg)
+    p = state.bodies.poses
+    # the body-local anchor (−1,0,0) must stay at the world pivot (origin)
+    anchor_world = sim_ops.mul_pt(
+        sim_ops.Sim(p.rotation[1:2], p.translation[1:2], p.scale[1:2]),
+        jnp.asarray([[-1.0, 0.0, 0.0]]))
+    err = float(jnp.linalg.norm(anchor_world))
+    assert err < 0.02, err
+    # it must actually have swung (gravity is on)
+    assert float(p.translation[1, 1]) < -0.3
+
+
+def test_fixed_joint_holds_pose():
+    bodies, shapes = _two_ball_world([0.7, 0.0, 0.0])
+    joints = fixed_joints([0], [1], [[0.7, 0.0, 0.0]], [[0.0, 0.0, 0.0]],
+                          dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    for _ in range(90):
+        state, cfg = step_checked(state, params, cfg)
+    p = np.asarray(state.bodies.poses.translation[1])
+    np.testing.assert_allclose(p, [0.7, 0.0, 0.0], atol=0.02)
+    q = np.asarray(state.bodies.poses.rotation[1])
+    assert abs(abs(q[3]) - 1.0) < 1e-2  # no rotation accumulated
+
+
+def test_revolute_swings_in_plane():
+    # hinge about z at origin; body starts along +x → swings in the xy plane
+    bodies, shapes = _two_ball_world([1.0, 0.0, 0.0])
+    joints = revolute_joints([0], [1], [[0.0, 0.0, 0.0]], [[-1.0, 0.0, 0.0]],
+                             axes=[[0.0, 0.0, 1.0]],
+                             dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    min_y = 0.0
+    for _ in range(60):
+        state, cfg = step_checked(state, params, cfg)
+        min_y = min(min_y, float(state.bodies.poses.translation[1, 1]))
+    t = np.asarray(state.bodies.poses.translation[1])
+    assert abs(t[2]) < 0.01, t  # no out-of-plane drift
+    assert abs(np.linalg.norm(t) - 1.0) < 0.02, t  # pivot distance kept
+    # swung through the bottom at some point during the 1 s (T/4 ≈ 0.5 s)
+    assert min_y < -0.7, min_y
+
+
+def test_revolute_motor_reaches_target_velocity():
+    params = SimParams(gravity=(0.0, 0.0, 0.0))
+    bodies, shapes = _two_ball_world([1.0, 0.0, 0.0])
+    joints = revolute_joints([0], [1], [[0.0, 0.0, 0.0]], [[-1.0, 0.0, 0.0]],
+                             axes=[[0.0, 0.0, 1.0]], motor_vel=2.0,
+                             dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    cfg = CFG
+    for _ in range(90):
+        state, cfg = step_checked(state, params, cfg)
+    w = np.asarray(state.bodies.vels.angular[1])
+    # relative angular velocity about the hinge axis approaches the target
+    assert abs(w[2] - 2.0) < 0.2, w
+    assert abs(w[0]) < 0.05 and abs(w[1]) < 0.05

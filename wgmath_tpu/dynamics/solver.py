@@ -91,37 +91,53 @@ def build_body_constraint_csr(cons: ContactConstraints, num_bodies: int):
 
 
 def color_constraints(cons: ContactConstraints, num_bodies: int,
-                      *, max_colors: int = 32, claim_rounds: int = 3):
+                      *, max_colors: int = 32, claim_rounds: int = 2):
     """Assign colors 1..max_colors so same-color constraints share no dynamic
     body. Per color: constraints scatter-min their index into per-body slots;
     winners (owning both slots) take the color; repeated claim rounds densify.
     Leftovers after ``max_colors`` get the last color (solved with
     scatter-add — deterministic, Jacobi-flavored for that residue).
+
+    The color loop is a ``while_loop`` that retires as soon as every valid
+    constraint is colored — scenes with few colors pay only for those.
+    Claims use Luby-style hashed priorities (≙ the reference's Luby MIS
+    fallback, coloring.rs:127-196, minus its per-color readbacks): random
+    local minima select a large independent set per round; the low 16 bits
+    carry the constraint index so priorities are unique.
     """
     c = cons.body_a.shape[0]
-    inf = jnp.int32(2_147_483_647)
+    if c > (1 << 16):
+        raise ValueError("constraint capacity above 2^16 needs wider keys")
+    inf = jnp.uint32(0xFFFFFFFF)
     idx = jnp.arange(c, dtype=jnp.int32)
     dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
     dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+    dyn2 = jnp.concatenate([dyn_a, dyn_b])
+    bodies2 = jnp.concatenate([cons.body_a, cons.body_b])
+
+    def priorities(salt):
+        h = (idx.astype(jnp.uint32) * jnp.uint32(2654435761)
+             + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        h ^= h >> 15
+        return (h << 16) | idx.astype(jnp.uint32)
 
     def claim(colors, color):
-        def one_round(_, state):
+        def one_round(r, state):
             colors, used = state
             cand = cons.valid & (colors == 0)
             cand &= ~(used[cons.body_a] & dyn_a) & ~(used[cons.body_b] & dyn_b)
-            # scatter-min constraint index into body slots (dynamic sides only)
-            slot = jnp.full((num_bodies,), inf, jnp.int32)
-            a_sel = jnp.where(cand & dyn_a, cons.body_a, num_bodies)
-            b_sel = jnp.where(cand & dyn_b, cons.body_b, num_bodies)
-            slot = slot.at[a_sel].min(jnp.where(cand, idx, inf), mode="drop")
-            slot = slot.at[b_sel].min(jnp.where(cand, idx, inf), mode="drop")
-            win_a = ~dyn_a | (slot[jnp.minimum(cons.body_a, num_bodies - 1)] == idx)
-            win_b = ~dyn_b | (slot[jnp.minimum(cons.body_b, num_bodies - 1)] == idx)
+            prio = priorities(color * 31 + r)
+            cand2 = jnp.concatenate([cand, cand]) & dyn2
+            prio2 = jnp.concatenate([prio, prio])
+            slot = jnp.full((num_bodies,), inf, jnp.uint32)
+            slot = slot.at[jnp.where(cand2, bodies2, num_bodies)].min(
+                jnp.where(cand2, prio2, inf), mode="drop")
+            win_a = ~dyn_a | (slot[jnp.minimum(cons.body_a, num_bodies - 1)] == prio)
+            win_b = ~dyn_b | (slot[jnp.minimum(cons.body_b, num_bodies - 1)] == prio)
             win = cand & win_a & win_b
             colors = jnp.where(win, color, colors)
-            used = used.at[jnp.where(win & dyn_a, cons.body_a, num_bodies)].set(
-                True, mode="drop")
-            used = used.at[jnp.where(win & dyn_b, cons.body_b, num_bodies)].set(
+            win2 = jnp.concatenate([win, win]) & dyn2
+            used = used.at[jnp.where(win2, bodies2, num_bodies)].set(
                 True, mode="drop")
             return colors, used
 
@@ -129,11 +145,16 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
         colors, _ = jax.lax.fori_loop(0, claim_rounds, one_round, (colors, used))
         return colors
 
-    def per_color(color, colors):
-        return claim(colors, color)
+    def cond(state):
+        color, colors = state
+        return (color < max_colors) & jnp.any(cons.valid & (colors == 0))
+
+    def body(state):
+        color, colors = state
+        return color + 1, claim(colors, color)
 
     colors = jnp.zeros((c,), jnp.int32)
-    colors = jax.lax.fori_loop(1, max_colors, per_color, colors)
+    _, colors = jax.lax.while_loop(cond, body, (jnp.int32(1), colors))
     # residue → last color
     colors = jnp.where(cons.valid & (colors == 0), max_colors, colors)
     return colors
@@ -301,10 +322,16 @@ def warmstart_apply(cons: ContactConstraints, vels: Velocity) -> Velocity:
 
 
 def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
-                    colors: jax.Array, *, max_colors: int = 32):
-    """One full PGS sweep: sequentially over colors, in parallel within."""
+                    colors: jax.Array, *, max_colors: int = 32,
+                    num_colors=None):
+    """One full PGS sweep: sequentially over colors, in parallel within.
+
+    ``num_colors``: device scalar — the loop retires after the last color in
+    use (fori_loop with a traced bound lowers to while)."""
     dim = cons.dim
     p_max = cons.n_impulse.shape[1]
+    if num_colors is None:
+        num_colors = jnp.max(jnp.where(cons.valid, colors, 0))
 
     def one_color(color, carry):
         lin, ang, n_imp, t_imp = carry
@@ -321,10 +348,80 @@ def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
         return lin, ang, n_imp, t_imp
 
     lin, ang, n_imp, t_imp = jax.lax.fori_loop(
-        1, max_colors + 1, one_color,
+        1, num_colors + 1, one_color,
         (vels.linear, vels.angular, cons.n_impulse, cons.t_impulse))
     return (Velocity(lin, ang),
             dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp))
+
+
+def build_color_layout(colors: jax.Array, valid: jax.Array, *,
+                       max_colors: int, cmax: int):
+    """Color-major constraint ordering: ``order`` sorted by color with
+    per-color ``offsets``/``counts``. Each GS color pass then touches only a
+    ``cmax``-sized window instead of the whole capacity — the sweep costs
+    O(total constraints), not O(capacity × colors).
+
+    ``cmax`` must bound the largest color class; an independent set uses each
+    dynamic body at most once, so ``num_bodies // 2 + slack`` is safe.
+    """
+    c = colors.shape[0]
+    key = jnp.where(valid, colors, max_colors + 1).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32), key,
+                                 num_segments=max_colors + 2)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    # pad so dynamic_slice never clamps (start + cmax <= len)
+    order_padded = jnp.concatenate([order, jnp.full((cmax,), c, jnp.int32)])
+    return order_padded, offsets, counts
+
+
+def gs_color_major_pass(cons: ContactConstraints, vels: Velocity,
+                        layout, num_colors, *, cmax: int):
+    """PGS sweep over the color-major layout (the fast path used by solve)."""
+    dim = cons.dim
+    p_max = cons.n_impulse.shape[1]
+    order_padded, offsets, counts = layout
+    c = cons.body_a.shape[0]
+    slot = jnp.arange(cmax, dtype=jnp.int32)
+
+    def one_color(color, carry):
+        lin, ang, n_imp, t_imp = carry
+        start = offsets[color]
+        cids = jax.lax.dynamic_slice_in_dim(order_padded, start, cmax)
+        active = slot < counts[color]
+        cids_c = jnp.minimum(cids, c - 1)
+        view = _view(cons, cids_c)
+        prev_n = n_imp[cids_c]
+        prev_t = t_imp[cids_c]
+        ba = view_body(cons.body_a, cids_c)
+        bb = view_body(cons.body_b, cids_c)
+        v1l, v1a = lin[ba], ang[ba]
+        v2l, v2a = lin[bb], ang[bb]
+        i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
+        new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
+            view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
+        cid_sel = jnp.where(active, cids_c, c)
+        n_imp = n_imp.at[cid_sel].set(new_n, mode="drop")
+        t_imp = t_imp.at[cid_sel].set(new_t, mode="drop")
+        n_bodies = lin.shape[0]
+        ba_sel = jnp.where(active, ba, n_bodies)
+        bb_sel = jnp.where(active, bb, n_bodies)
+        lin = lin.at[ba_sel].add(v1l - i1l, mode="drop")
+        lin = lin.at[bb_sel].add(v2l - i2l, mode="drop")
+        ang = ang.at[ba_sel].add(v1a - i1a, mode="drop")
+        ang = ang.at[bb_sel].add(v2a - i2a, mode="drop")
+        return lin, ang, n_imp, t_imp
+
+    lin, ang, n_imp, t_imp = jax.lax.fori_loop(
+        1, num_colors + 1, one_color,
+        (vels.linear, vels.angular, cons.n_impulse, cons.t_impulse))
+    return (Velocity(lin, ang),
+            dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp))
+
+
+def view_body(arr, cids):
+    return arr[cids]
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +503,8 @@ def jacobi_pass(cons: ContactConstraints, vels: Velocity, csr,
 def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           params: SimParams, *, use_jacobi: bool = False,
           max_colors: int = 32, max_per_body: int = 32,
-          warmstart_from: ContactConstraints | None = None):
+          warmstart_from: ContactConstraints | None = None,
+          joints=None):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints)``. One jit-traceable program.
 
@@ -437,26 +535,53 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     if use_jacobi:
         csr = build_body_constraint_csr(cons, n)
         colors = None
+        layout = None
+        num_colors = None
+        cmax = 0
     else:
         colors = color_constraints(cons, n, max_colors=max_colors)
+        num_colors = jnp.minimum(jnp.max(jnp.where(cons.valid, colors, 0)),
+                                 max_colors)
+        # a color class holds ≤ one constraint per dynamic body
+        cmax = min(cons.body_a.shape[0], n + 64)
+        layout = build_color_layout(colors, cons.valid,
+                                    max_colors=max_colors, cmax=cmax)
         csr = None
+
+    if joints is not None:
+        from wgmath_tpu.dynamics.joint import (
+            build_joint_constraints,
+            joint_gs_pass,
+            remove_joint_bias,
+        )
 
     def substep(_, carry):
         vels, poses, cons = carry
         vels = Velocity(vels.linear + inc, vels.angular)
         cons = update_constraints(cons, poses, sub)
+        if joints is not None:
+            # full rebuild per substep (≙ joint builder `update` kernel)
+            jcons = build_joint_constraints(joints, poses, mprops, sub)
         if not use_jacobi:
             vels = warmstart_apply(cons, vels)
-            vels, cons = gs_colored_pass(cons, vels, colors,
-                                         max_colors=max_colors)
+        if joints is not None:
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
+        if not use_jacobi:
+            vels, cons = gs_color_major_pass(cons, vels, layout, num_colors,
+                                             cmax=cmax)
         else:
             vels, cons = jacobi_pass(cons, vels, csr,
                                      max_per_body=max_per_body)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
+        if joints is not None:
+            jcons = remove_joint_bias(jcons)
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
         cons = remove_cfm_and_bias(cons)
         if not use_jacobi:
-            vels, cons = gs_colored_pass(cons, vels, colors,
-                                         max_colors=max_colors)
+            vels, cons = gs_color_major_pass(cons, vels, layout, num_colors,
+                                             cmax=cmax)
         else:
             vels, cons = jacobi_pass(cons, vels, csr,
                                      max_per_body=max_per_body)

@@ -46,10 +46,11 @@ class PhysicsState:
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
     pair_count: jax.Array  # i32 [] — last frame's true pair count
+    joints: Any = None  # JointSet | None
 
     def tree_flatten(self):
         return (self.bodies, self.shapes, self.prev_constraints,
-                self.pair_count), None
+                self.pair_count, self.joints), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -67,8 +68,8 @@ class PipelineConfig:
     broad_phase_block: int = 256
 
 
-def new_state(bodies: Bodies, shapes: ShapeSet) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.int32(0))
+def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
+    return PhysicsState(bodies, shapes, None, jnp.int32(0), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -97,9 +98,11 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         max_colors=config.max_colors,
         max_per_body=config.max_per_body,
         warmstart_from=prev,
+        joints=state.joints,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    return PhysicsState(new_bodies, state.shapes, cons, pairs.count)
+    return PhysicsState(new_bodies, state.shapes, cons, pairs.count,
+                        state.joints)
 
 
 def step_checked(state: PhysicsState, params: SimParams,

@@ -99,16 +99,26 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     dist = jnp.full((c, p_max), 1e9, jnp.float32)
     num_points = jnp.zeros((c,), jnp.int32)
 
+    # static scene-composition gating: skip whole kernels when the shape set
+    # cannot produce that type pair (SURVEY §7 hard part 6 — instead of
+    # sorting pairs by type, specialize the compiled program per scene)
+    kinds = shapes.kinds
+    has_ball = shp.BALL in kinds
+    has_cuboid = shp.CUBOID in kinds
+    has_pfm_only = bool(kinds - {shp.BALL, shp.CUBOID})
+
     # --- ball vs ball -------------------------------------------------------
     bb = (tag_a == shp.BALL) & (tag_b == shp.BALL)
-    n_l, p_l, d_bb = ball_ball(pose_a, pose_b, par_a[:, 0], par_b[:, 0])
-    normal_a = jnp.where(bb[:, None], n_l, normal_a)
-    points_a = points_a.at[:, 0].set(jnp.where(bb[:, None], p_l, points_a[:, 0]))
-    dist = dist.at[:, 0].set(jnp.where(bb, d_bb, dist[:, 0]))
-    num_points = jnp.where(bb, 1, num_points)
+    if has_ball:
+        n_l, p_l, d_bb = ball_ball(pose_a, pose_b, par_a[:, 0], par_b[:, 0])
+        normal_a = jnp.where(bb[:, None], n_l, normal_a)
+        points_a = points_a.at[:, 0].set(
+            jnp.where(bb[:, None], p_l, points_a[:, 0]))
+        dist = dist.at[:, 0].set(jnp.where(bb, d_bb, dist[:, 0]))
+        num_points = jnp.where(bb, 1, num_points)
 
     # --- ball vs cuboid (either order) --------------------------------------
-    for swap in (False, True):
+    for swap in (False, True) if (has_ball and has_cuboid) else ():
         if swap:
             m = (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
             pb, pc = pose_b, pose_a
@@ -135,7 +145,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         num_points = jnp.where(m, 1, num_points)
 
     # --- cuboid vs cuboid (SAT + face clipping, 3D) --------------------------
-    if dim == 3:
+    if dim == 3 and has_cuboid:
         from wgmath_tpu.queries.sat import cuboid_cuboid_manifold
 
         cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
@@ -149,7 +159,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     # --- generic support-mapped pairs via GJK (capsule/cylinder/cone/…) ------
     # ≙ narrow_phase.wgsl pfm_pfm fallback: any pair not handled by an
     # analytic kernel above. Single-point manifold.
-    if dim == 3:
+    if dim == 3 and has_pfm_only:
         from wgmath_tpu.queries.gjk import pfm_contact
 
         handled = bb

@@ -47,20 +47,28 @@ NUM_PARAMS = 8
 @tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ShapeSet:
-    """All collider shapes, SoA (≙ GpuShape tagged union + ShapeBuffers)."""
+    """All collider shapes, SoA (≙ GpuShape tagged union + ShapeBuffers).
+
+    ``kinds`` is the *static* set of shape tags present — pytree aux data, so
+    jitted narrow-phase code specializes per scene composition and skips
+    contact kernels for absent type pairs (SURVEY §7 hard part 6).
+    """
 
     tag: jax.Array  # i32 [N]
     params: jax.Array  # f32 [N, NUM_PARAMS]
     # shared flattened mesh storage (≙ ShapeBuffers vertex/index buffers)
     vertices: jax.Array  # f32 [V, dim]
     indices: jax.Array  # i32 [I, dim] (triangles in 3D, segments in 2D)
+    kinds: frozenset = frozenset(
+        (BALL, CUBOID, CAPSULE, CONE, CYLINDER, SEGMENT, TRIANGLE, POLYLINE,
+         TRIMESH, CONVEX))
 
     def tree_flatten(self):
-        return (self.tag, self.params, self.vertices, self.indices), None
+        return (self.tag, self.params, self.vertices, self.indices), self.kinds
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, kinds=aux)
 
     @property
     def num_shapes(self):
@@ -73,7 +81,8 @@ class ShapeSet:
         params = jnp.zeros((n, NUM_PARAMS), jnp.float32).at[:, 0].set(radii)
         return ShapeSet(jnp.full((n,), BALL, jnp.int32), params,
                         jnp.zeros((0, dim), jnp.float32),
-                        jnp.zeros((0, dim), jnp.int32))
+                        jnp.zeros((0, dim), jnp.int32),
+                        kinds=frozenset((BALL,)))
 
     @staticmethod
     def cuboids(half_extents) -> "ShapeSet":
@@ -82,7 +91,20 @@ class ShapeSet:
         params = jnp.zeros((n, NUM_PARAMS), jnp.float32).at[:, :dim].set(he)
         return ShapeSet(jnp.full((n,), CUBOID, jnp.int32), params,
                         jnp.zeros((0, dim), jnp.float32),
-                        jnp.zeros((0, dim), jnp.int32))
+                        jnp.zeros((0, dim), jnp.int32),
+                        kinds=frozenset((CUBOID,)))
+
+    @staticmethod
+    def capsules(half_heights, radii, dim: int = 3) -> "ShapeSet":
+        hh = jnp.asarray(half_heights, jnp.float32)
+        r = jnp.asarray(radii, jnp.float32)
+        n = hh.shape[0]
+        params = (jnp.zeros((n, NUM_PARAMS), jnp.float32)
+                  .at[:, 0].set(hh).at[:, 1].set(r))
+        return ShapeSet(jnp.full((n,), CAPSULE, jnp.int32), params,
+                        jnp.zeros((0, dim), jnp.float32),
+                        jnp.zeros((0, dim), jnp.int32),
+                        kinds=frozenset((CAPSULE,)))
 
     @staticmethod
     def concat(*sets: "ShapeSet") -> "ShapeSet":
@@ -90,6 +112,7 @@ class ShapeSet:
         tags, params, verts, idxs = [], [], [], []
         v_off = 0
         i_off = 0
+        kinds: frozenset = frozenset()
         for s in sets:
             p = s.params
             is_mesh = (s.tag >= POLYLINE) | (s.tag == TRIANGLE)
@@ -102,8 +125,10 @@ class ShapeSet:
             idxs.append(idx)
             v_off += s.vertices.shape[0]
             i_off += s.indices.shape[0]
+            kinds = kinds | s.kinds
         return ShapeSet(jnp.concatenate(tags), jnp.concatenate(params),
-                        jnp.concatenate(verts), jnp.concatenate(idxs))
+                        jnp.concatenate(verts), jnp.concatenate(idxs),
+                        kinds=kinds)
 
 
 def local_aabb_half_extents(shapes: ShapeSet, dim: int) -> jax.Array:

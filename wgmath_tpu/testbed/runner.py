@@ -1,0 +1,122 @@
+"""Testbed: scene runner + backend switch + stats (≙ wgrapier src_testbed:
+Testbed::run lib.rs:42-71, SimulationBackend trait backend/mod.rs:24,
+CPU/GPU backend switch, ui.rs stats overlay; examples CLI
+all_examples3.rs:27-38 --example/--list).
+
+Headless TPU rendition: the kiss3d window + egui UI becomes a terminal/CSV
+frontend (optional matplotlib scatter snapshots); the CPU(rapier) oracle
+backend becomes the same pipeline jitted on the CPU backend — bit-identical
+math, which is a *stronger* oracle than the reference's behavioral
+comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+from wgmath_tpu.core.profiling import PhaseTimer, RunStats
+from wgmath_tpu.dynamics import SimParams
+from wgmath_tpu.pipeline import PipelineConfig, step_checked
+from wgmath_tpu.scenes.builders import SCENES
+
+
+@dataclasses.dataclass
+class BackendConfig:
+    """≙ the testbed's backend selector (CPU / GPU × {TGS, Jacobi})."""
+
+    solver: str = "tgs"  # "tgs" | "jacobi"
+
+    def pipeline_config(self, pair_capacity=16384) -> PipelineConfig:
+        return PipelineConfig(pair_capacity=pair_capacity,
+                              use_jacobi=self.solver == "jacobi")
+
+
+def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
+              dump_every: int = 0, verify: bool = False) -> RunStats:
+    """Step a demo scene, printing per-phase stats (≙ Testbed::run loop +
+    RunStats overlay)."""
+    import jax
+
+    state = SCENES[name]()
+    params = SimParams.jacobi() if solver == "jacobi" else SimParams.tgs_soft()
+    config = BackendConfig(solver).pipeline_config()
+    stats = RunStats()
+    timer = PhaseTimer(stats)
+
+    t_compile = time.perf_counter()
+    state, config = step_checked(state, params, config, stats)
+    jax.block_until_ready(state.bodies.poses.translation)
+    stats.add_phase("compile+first_step", (time.perf_counter() - t_compile) * 1e3)
+
+    for frame in range(1, frames):
+        with timer.phase("step") as h:
+            state, config = step_checked(state, params, config, stats)
+            h.append(state.bodies.poses.translation)
+        if verify:
+            debug_validate(state)
+        if dump_every and frame % dump_every == 0:
+            pos = np.asarray(state.bodies.poses.translation)
+            print(f"frame {frame}: y[min/mean/max] = "
+                  f"{pos[:, 1].min():.3f}/{pos[:, 1].mean():.3f}/{pos[:, 1].max():.3f}",
+                  flush=True)
+    per_step = stats.phase_ms.get("step", 0.0) / max(frames - 1, 1)
+    stats.counters["steps_per_second"] = int(1000.0 / max(per_step, 1e-9))
+    return stats
+
+
+def debug_validate(state) -> None:
+    """NaN scan + pair-list sanity (≙ slow_verify_collision_pair_lists,
+    pipeline.rs:701-771 — the reference's debug-only race/NaN validator)."""
+    pos = np.asarray(state.bodies.poses.translation)
+    if not np.all(np.isfinite(pos)):
+        raise AssertionError("NaN/Inf in body poses")
+    if state.prev_constraints is not None:
+        cons = state.prev_constraints
+        valid = np.asarray(cons.valid)
+        a = np.asarray(cons.body_a)[valid]
+        b = np.asarray(cons.body_b)[valid]
+        n = pos.shape[0]
+        if valid.any() and (a.max(initial=0) >= n or b.max(initial=0) >= n):
+            raise AssertionError("constraint body index out of range")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="wgmath_tpu testbed (≙ wgrapier demo runner)")
+    ap.add_argument("--example", default=None, help="scene name")
+    ap.add_argument("--list", action="store_true", help="list scenes")
+    ap.add_argument("--run-all", action="store_true")
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--solver", choices=["tgs", "jacobi"], default="tgs")
+    ap.add_argument("--dump-every", type=int, default=0)
+    ap.add_argument("--verify", action="store_true",
+                    help="per-frame NaN/constraint validation")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.list:
+        for name in SCENES:
+            print(name)
+        return 0
+
+    names = list(SCENES) if args.run_all else [args.example or "balls3"]
+    for name in names:
+        stats = run_scene(name, frames=args.frames, solver=args.solver,
+                          dump_every=args.dump_every, verify=args.verify)
+        if args.json:
+            print(json.dumps({"scene": name, "phase_ms": stats.phase_ms,
+                              "counters": stats.counters}))
+        else:
+            print(f"=== {name} ===")
+            print(stats.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
