@@ -117,3 +117,33 @@ def test_gjk_intersecting_flag():
                        tag, par, _pose([[0.3, 0.2, 0.1]]))
     assert bool(res.intersecting[0])
     assert float(res.distance[0]) == 0.0
+
+
+def test_epa_box_box_depth():
+    from wgmath_tpu.queries.epa import epa_penetration
+
+    tag = jnp.full((3,), shp.CUBOID, jnp.int32)
+    par = jnp.zeros((3, 8)).at[:, :3].set(0.5)
+    r_ab = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
+    t_ab = jnp.asarray([[0.0, 0.9, 0.0], [0.6, 0.0, 0.0], [0.0, 0.0, -0.85]])
+    n, depth, pa = epa_penetration(tag, par, tag, par, r_ab, t_ab)
+    np.testing.assert_allclose(np.asarray(depth), [0.1, 0.4, 0.15], atol=1e-4)
+    np.testing.assert_allclose(np.abs(np.asarray(n)),
+                               [[0, 1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-4)
+    # normal points A→B
+    assert float(n[0, 1]) > 0 and float(n[1, 0]) > 0 and float(n[2, 2]) < 0
+
+
+def test_pfm_contact_deep_capsules():
+    """Two crossed capsules with intersecting cores: EPA supplies the depth."""
+    tag = jnp.full((1,), shp.CAPSULE, jnp.int32)
+    par = jnp.zeros((1, 8)).at[:, 0].set(0.5).at[:, 1].set(0.2)
+    pose_a = _pose([[0.0, 0.0, 0.0]])
+    # B rotated 90° about z (axis → x), centers 0.1 apart on x: cores cross
+    q = quat.from_scaled_axis(jnp.asarray([[0.0, 0.0, np.pi / 2]]))
+    pose_b = Sim(q, jnp.asarray([[0.1, 0.0, 0.0]]), jnp.ones((1,)))
+    normal, pt_a, dist = pfm_contact(tag, par, pose_a, tag, par, pose_b)
+    # segments (y-axis vs x-axis lines) intersect → core depth ≥ 0, total
+    # penetration ≈ core_depth + 2r ≥ 0.4
+    assert float(dist[0]) < -0.35, float(dist[0])
+    assert np.isfinite(np.asarray(normal)).all()

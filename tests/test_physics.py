@@ -241,3 +241,62 @@ def test_box_stack_stable():
     # boxes should not have toppled
     q = np.asarray(state.bodies.poses.rotation[1:])
     assert np.all(np.abs(q[:, :3]) < 0.1), q
+
+
+def test_2d_pipeline_ball_and_box_rest():
+    """2D end-to-end: a ball and a box resting on a 2D ground slab
+    (≙ the reference's wgrapier2d build + examples2d suite)."""
+    params = SimParams()
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.asarray([[50.0, 1.0]])),
+        ShapeSet.balls(jnp.asarray([0.5]), dim=2),
+        ShapeSet.cuboids(jnp.asarray([[0.5, 0.5]])),
+    )
+    trans = jnp.asarray([[0.0, -1.0], [-2.0, 1.0], [2.0, 1.0]], jnp.float32)
+    rot = jnp.tile(jnp.asarray([1.0, 0.0]), (3, 1))
+    poses = sim_ops.from_parts(rot, trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[50.0, 1.0]]),
+                            dynamic=jnp.asarray([False])),
+        ball_local_mprops(jnp.asarray([0.5]), dim=2),
+        cuboid_local_mprops(jnp.asarray([[0.5, 0.5]])),
+    )
+    bodies = Bodies(poses, Velocity.zero(3, 2), mp)
+    state = new_state(bodies, shapes)
+    cfg = CFG
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    y = np.asarray(state.bodies.poses.translation[:, 1])
+    assert abs(y[1] - 0.5) < 0.03, y  # ball rests at radius height
+    assert abs(y[2] - 0.5) < 0.03, y  # box rests at half-extent height
+    v = np.asarray(state.bodies.vels.linear)
+    assert np.max(np.abs(v[1:])) < 0.1, v
+
+
+def test_trimesh_heightfield_balls_rest():
+    """Balls dropped on a pyramid-shaped heightfield trimesh come to rest on
+    its surface (≙ the reference's trimesh3 demo)."""
+    from wgmath_tpu.shapes.mesh import heightfield
+
+    params = SimParams()
+    hf = np.zeros((9, 9), np.float32)  # flat 8x8-cell grid, spacing 1
+    mesh = heightfield(hf, 1.0, 1.0)
+    shapes = ShapeSet.concat(mesh, ShapeSet.balls(jnp.asarray([0.4, 0.4])))
+    trans = jnp.asarray([[0.0, 0.0, 0.0], [-1.0, 1.0, 0.5], [1.3, 1.4, -0.7]],
+                        jnp.float32)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (3, 1)),
+                               trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[4.5, 0.1, 4.5]]),
+                            dynamic=jnp.asarray([False])),
+        ball_local_mprops(jnp.asarray([0.4, 0.4])),
+    )
+    bodies = Bodies(poses, Velocity.zero(3, 3), mp)
+    state = new_state(bodies, shapes)
+    cfg = dataclasses.replace(CFG, mesh_pair_capacity=16, mesh_k_best=4)
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    y = np.asarray(state.bodies.poses.translation[1:, 1])
+    np.testing.assert_allclose(y, 0.4, atol=0.03)
+    v = np.asarray(state.bodies.vels.linear[1:])
+    assert np.max(np.abs(v)) < 0.1, v

@@ -129,12 +129,14 @@ def make_joint_set(body_a, body_b, local_frame_a: Sim, local_frame_b: Sim,
             return jnp.full(shape, default)
         return jnp.asarray(x)
 
-    zero_mask = np.zeros(j, np.int32)
     locked = np.asarray(locked_axes, np.int32)
     valid = np.ones(j, bool)
-    dyn = (np.ones(10 ** 0 + int(max(np.max(body_a), np.max(body_b))) + 1, bool)
+    dyn = (np.ones(int(max(np.max(body_a), np.max(body_b))) + 1, bool)
            if dynamic_mask is None else np.asarray(dynamic_mask))
-    colors = _greedy_color(body_a, np.asarray(body_b, np.int32), valid, dyn)
+    from wgmath_tpu import native
+
+    colors = native.greedy_color(body_a, np.asarray(body_b, np.int32), dyn,
+                                 valid)
     return JointSet(
         jnp.asarray(body_a), jnp.asarray(body_b, jnp.int32),
         local_frame_a, local_frame_b,

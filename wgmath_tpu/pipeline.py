@@ -66,6 +66,14 @@ class PipelineConfig:
     max_colors: int = 32
     max_per_body: int = 32
     broad_phase_block: int = 256
+    mesh_pair_capacity: int = 512
+    mesh_k_best: int = 4
+
+
+def _has_mesh(shapes: ShapeSet) -> bool:
+    from wgmath_tpu.shapes.shape import POLYLINE, TRIMESH
+
+    return bool(shapes.kinds & {TRIMESH, POLYLINE})
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
@@ -90,6 +98,16 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                        block=config.broad_phase_block)
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance)
+    if _has_mesh(state.shapes):
+        from wgmath_tpu.queries.mesh_contact import (
+            concat_contacts,
+            mesh_ball_contacts,
+        )
+
+        mesh_contacts = mesh_ball_contacts(
+            bodies.poses, state.shapes, pairs, params.prediction_distance,
+            pair_cap=config.mesh_pair_capacity, k_best=config.mesh_k_best)
+        contacts = concat_contacts(contacts, mesh_contacts)
 
     prev = state.prev_constraints if warmstart else None
     poses, vels, cons = solve(

@@ -1,0 +1,186 @@
+"""EPA: penetration depth/normal for intersecting convex pairs
+(≙ wgparry queries/gjk/epa3.wgsl — 554 lines of per-thread polytope
+expansion — and epa2.wgsl).
+
+TPU-native shape: EPA runs only on the *compacted* set of intersecting pairs
+(they are rare — the solver keeps penetrations shallow), with a
+fixed-capacity polytope (V_CAP vertices / F_CAP faces) and a fixed iteration
+budget. The horizon of each expansion step is found by counting edge
+multiplicity among removed faces (an O(E²) masked compare — cheap at the
+compacted batch size, and branch-free).
+
+Seeding: an octahedron of CSO supports along ±x/±y/±z. The seed hull is
+inscribed in the CSO, so for extremely shallow or degenerate intersections
+the first iterations re-orient it; the iteration budget covers typical
+physics contacts (penetration ≪ shape size).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from wgmath_tpu.queries.gjk import cso_support
+
+V_CAP = 30
+F_CAP = 56
+ITERS = 14
+_BIG = 1.0e10
+
+
+def _face_geometry(verts, faces):
+    """Outward normals + plane distances for faces [M,F,3] of verts [M,V,3]."""
+    v0 = jnp.take_along_axis(verts, faces[..., 0:1, None].repeat(3, -1), 1)
+    v1 = jnp.take_along_axis(verts, faces[..., 1:2, None].repeat(3, -1), 1)
+    v2 = jnp.take_along_axis(verts, faces[..., 2:3, None].repeat(3, -1), 1)
+    # gather per face: reshape trick
+    return v0, v1, v2
+
+
+def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab):
+    """Penetration depth + direction for intersecting pairs (A-frame).
+
+    All args are batched [M]; returns ``(normal [M,3], depth [M],
+    point_a [M,3])`` with ``normal`` pointing from A to B (the direction to
+    push B to separate), ``depth >= 0``, ``point_a`` the deepest point of the
+    contact on shape A.
+    """
+    m = t_ab.shape[0]
+
+    # --- seed octahedron -------------------------------------------------------
+    dirs = jnp.asarray([[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0],
+                        [0, -1.0, 0], [0, 0, 1.0], [0, 0, -1.0]], jnp.float32)
+    verts = jnp.zeros((m, V_CAP, 3), jnp.float32)
+    wit_a = jnp.zeros((m, V_CAP, 3), jnp.float32)
+    wit_b = jnp.zeros((m, V_CAP, 3), jnp.float32)
+    for i in range(6):
+        d = jnp.broadcast_to(dirs[i], (m, 3))
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d)
+        verts = verts.at[:, i].set(s.w)
+        wit_a = wit_a.at[:, i].set(s.p_a)
+        wit_b = wit_b.at[:, i].set(s.p_b)
+    nverts = jnp.full((m,), 6, jnp.int32)
+
+    # octahedron faces (+x,+y,+z),(+x,+z,-y)… with outward winding
+    oct_faces = jnp.asarray([
+        [0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+        [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5],
+    ], jnp.int32)
+    faces = jnp.zeros((m, F_CAP, 3), jnp.int32)
+    faces = faces.at[:, :8].set(oct_faces)
+    fvalid = jnp.zeros((m, F_CAP), bool).at[:, :8].set(True)
+    nfaces = jnp.full((m,), 8, jnp.int32)
+
+    def face_planes(verts, faces, fvalid):
+        idx = faces.reshape(m, -1)  # [M, F*3]
+        pts = jnp.take_along_axis(verts, idx[..., None].repeat(3, -1), 1)
+        pts = pts.reshape(m, F_CAP, 3, 3)
+        v0, v1, v2 = pts[:, :, 0], pts[:, :, 1], pts[:, :, 2]
+        n = jnp.cross(v1 - v0, v2 - v0)
+        nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.maximum(nn, 1e-30)
+        d = jnp.sum(n * v0, axis=-1)
+        # orient outward (origin inside): d >= 0
+        flip = d < 0.0
+        n = jnp.where(flip[..., None], -n, n)
+        d = jnp.where(flip, -d, d)
+        degen = nn[..., 0] < 1e-12
+        d = jnp.where(fvalid & ~degen, d, _BIG)
+        return n, d
+
+    def body(_, state):
+        verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done = state
+        normals, dists = face_planes(verts, faces, fvalid)
+        best = jnp.argmin(dists, axis=-1)
+        best_n = jnp.take_along_axis(normals, best[:, None, None].repeat(3, -1), 1)[:, 0]
+        best_d = jnp.take_along_axis(dists, best[:, None], -1)[:, 0]
+
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, best_n)
+        gap = jnp.sum(s.w * best_n, -1) - best_d
+        newly_done = gap < 1e-4
+        grow = ~done & ~newly_done & (nverts < V_CAP)
+        done = done | newly_done | (nverts >= V_CAP)
+
+        # visible faces from the new point
+        vis = fvalid & (jnp.einsum("mfd,md->mf", normals, s.w) - dists > 1e-7)
+        vis &= grow[:, None]
+
+        # horizon edges: directed edges of visible faces whose reverse is not
+        # among visible faces' edges
+        e0 = faces[..., [0, 1, 2]]
+        e1 = faces[..., [1, 2, 0]]
+        edges_a = e0.reshape(m, -1)  # [M, 3F]
+        edges_b = e1.reshape(m, -1)
+        evalid = jnp.repeat(vis, 3, axis=-1)
+        # edge (a,b) is horizon iff no visible edge equals (b,a)
+        key_fwd = edges_a * V_CAP + edges_b
+        key_rev = edges_b * V_CAP + edges_a
+        has_rev = jnp.any(
+            (key_fwd[:, None, :] == key_rev[:, :, None])
+            & evalid[:, None, :] & evalid[:, :, None], axis=-1)
+        horizon = evalid & ~has_rev
+
+        # insert new vertex
+        vslot = jnp.minimum(nverts, V_CAP - 1)
+        verts = jax.vmap(lambda v, i, x: v.at[i].set(x))(verts, vslot, s.w)
+        wit_a = jax.vmap(lambda v, i, x: v.at[i].set(x))(wit_a, vslot, s.p_a)
+        wit_b = jax.vmap(lambda v, i, x: v.at[i].set(x))(wit_b, vslot, s.p_b)
+        nverts = jnp.where(grow, nverts + 1, nverts)
+
+        # free visible face slots, then append one new face per horizon edge
+        fvalid_new = fvalid & ~vis
+        free_rank = jnp.cumsum((~fvalid_new).astype(jnp.int32), axis=-1) - 1
+        hor_rank = jnp.cumsum(horizon.astype(jnp.int32), axis=-1) - 1
+        # target free slot for k-th horizon edge = index of k-th free slot
+        # build mapping: free_slots[m, k] = index of k-th invalid face slot
+        slot_idx = jnp.argsort(jnp.where(fvalid_new, 1, 0), axis=-1,
+                               stable=True)  # invalid slots first
+        n_free = jnp.sum(~fvalid_new, axis=-1)
+        target = jnp.take_along_axis(
+            slot_idx, jnp.minimum(hor_rank, F_CAP - 1).clip(0), axis=-1)
+        can_place = horizon & (hor_rank < n_free[:, None]) & grow[:, None]
+        tgt = jnp.where(can_place, target, F_CAP)
+        new_face = jnp.stack([edges_a, edges_b,
+                              jnp.broadcast_to(vslot[:, None], edges_a.shape)],
+                             axis=-1)
+        faces = jax.vmap(lambda f, t, nf: f.at[t].set(nf, mode="drop"))(
+            faces, tgt, new_face)
+        fvalid = jax.vmap(lambda fv, t: fv.at[t].set(True, mode="drop"))(
+            fvalid_new, tgt)
+        return verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done
+
+    done0 = jnp.zeros((m,), bool)
+    state = (verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done0)
+    verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done = jax.lax.fori_loop(
+        0, ITERS, body, state)
+
+    normals, dists = face_planes(verts, faces, fvalid)
+    best = jnp.argmin(dists, axis=-1)
+    n = jnp.take_along_axis(normals, best[:, None, None].repeat(3, -1), 1)[:, 0]
+    depth = jnp.take_along_axis(dists, best[:, None], -1)[:, 0]
+    depth = jnp.where(depth >= _BIG * 0.5, 0.0, depth)
+
+    # witness: barycentric projection of the origin onto the best face
+    fidx = jnp.take_along_axis(faces, best[:, None, None].repeat(3, -1), 1)[:, 0]
+    wv = jnp.take_along_axis(verts, fidx[..., None].repeat(3, -1), 1)
+    wa = jnp.take_along_axis(wit_a, fidx[..., None].repeat(3, -1), 1)
+    proj = n * depth[:, None]
+    # barycentric coords of proj in triangle wv
+    v0 = wv[:, 1] - wv[:, 0]
+    v1 = wv[:, 2] - wv[:, 0]
+    v2 = proj - wv[:, 0]
+    d00 = jnp.sum(v0 * v0, -1)
+    d01 = jnp.sum(v0 * v1, -1)
+    d11 = jnp.sum(v1 * v1, -1)
+    d20 = jnp.sum(v2 * v0, -1)
+    d21 = jnp.sum(v2 * v1, -1)
+    den = jnp.maximum(d00 * d11 - d01 * d01, 1e-30)
+    v = (d11 * d20 - d01 * d21) / den
+    w = (d00 * d21 - d01 * d20) / den
+    u = 1.0 - v - w
+    bary = jnp.stack([u, v, w], -1)
+    point_a = jnp.einsum("mk,mkd->md", bary, wa)
+    # n is the min-translation direction for the CSO (A−B): moving A by −n·depth
+    # separates; the A→B contact normal is therefore −n? The MTV on the CSO
+    # points from the origin toward the boundary: B must move along +n.
+    return n, depth, point_a

@@ -302,25 +302,55 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     return GjkResult(dist, point_a, point_b, normal, inter)
 
 
-def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim):
-    """Single-point contact for support-mapped pairs via GJK + dilation
-    (≙ WgContactPfmPfm, contact.rs:161-178 — GJK/EPA manifold; rounded
-    shapes resolve penetration through their dilation radii, deep core
-    overlap falls back to the center axis until EPA lands).
+def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
+                mask=None, *, epa_cap: int = 256):
+    """Single-point contact for support-mapped pairs via GJK + dilation, with
+    EPA for core-intersecting pairs (≙ WgContactPfmPfm, contact.rs:161-178).
+
+    Rounded shapes resolve shallow penetration through their dilation radii
+    (GJK core distance − radii); pairs whose *cores* intersect are compacted
+    into an ``epa_cap``-sized batch and get exact depth/normal from EPA —
+    running the expensive polytope expansion only where needed instead of on
+    every pair slot.
 
     Returns (normal_a local-A [N,3], point on A [N,3] local-A, dist [N]).
     """
+    from wgmath_tpu.queries.epa import epa_penetration
+
+    n = pose_a.translation.shape[0]
     res = gjk_distance(tag_a, par_a, pose_a, tag_b, par_b, pose_b)
     d0 = jnp.zeros_like(res.normal).at[:, 1].set(1.0)
     _, rad_a = support_core(tag_a, par_a, d0)
     _, rad_b = support_core(tag_b, par_b, d0)
     dist = res.distance - rad_a - rad_b
-    # deep-core-overlap fallback: push apart along the center axis
-    q_ab_t = pose_b.translation - pose_a.translation
-    t_loc = quat.inv_mul_vec(pose_a.rotation, q_ab_t)
-    t_n = jnp.linalg.norm(t_loc, axis=-1, keepdims=True)
-    center_axis = jnp.where(t_n > 1e-9, t_loc / jnp.maximum(t_n, 1e-30),
-                            jnp.zeros_like(t_loc).at[:, 1].set(1.0))
-    normal = jnp.where(res.intersecting[:, None], center_axis, res.normal)
+    normal = res.normal
     pt_a = res.point_a + normal * rad_a[:, None]
+
+    inter = res.intersecting
+    if mask is not None:
+        inter = inter & mask
+    # --- compact intersecting pairs and run EPA -------------------------------
+    flags = inter
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    slot = jnp.where(flags & (pos < epa_cap), pos, epa_cap)
+    sel = jnp.zeros((epa_cap,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(flags.astype(jnp.int32)), epa_cap)
+    active = jnp.arange(epa_cap) < count
+
+    q_ab = quat.mul(quat.inv(pose_a.rotation[sel]), pose_b.rotation[sel])
+    r_ab = quat.to_matrix(q_ab)
+    t_ab = quat.inv_mul_vec(
+        pose_a.rotation[sel], pose_b.translation[sel] - pose_a.translation[sel])
+    t_ab = t_ab / pose_a.scale[sel][..., None]
+    e_n, e_depth, e_pa = epa_penetration(
+        tag_a[sel], par_a[sel], tag_b[sel], par_b[sel], r_ab, t_ab)
+
+    # scatter EPA results back (core depth + both dilation radii)
+    sel_drop = jnp.where(active, sel, n)
+    normal = normal.at[sel_drop].set(e_n, mode="drop")
+    e_dist = -(e_depth + rad_a[sel] + rad_b[sel])
+    dist = dist.at[sel_drop].set(e_dist, mode="drop")
+    e_pt = e_pa + e_n * rad_a[sel][:, None]
+    pt_a = pt_a.at[sel_drop].set(e_pt, mode="drop")
     return normal, pt_a, dist

@@ -144,13 +144,16 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         dist = dist.at[:, 0].set(jnp.where(m, d_bc, dist[:, 0]))
         num_points = jnp.where(m, 1, num_points)
 
-    # --- cuboid vs cuboid (SAT + face clipping, 3D) --------------------------
-    if dim == 3 and has_cuboid:
-        from wgmath_tpu.queries.sat import cuboid_cuboid_manifold
+    # --- cuboid vs cuboid (SAT + face clipping) -------------------------------
+    if has_cuboid:
+        if dim == 3:
+            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold as _cc_fn
+        else:
+            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold_2d as _cc_fn
 
         cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
-        n_l, pts_l, d_cc, np_cc = cuboid_cuboid_manifold(
-            pose_a, pose_b, par_a[:, :3], par_b[:, :3], prediction_distance)
+        n_l, pts_l, d_cc, np_cc = _cc_fn(
+            pose_a, pose_b, par_a[:, :dim], par_b[:, :dim], prediction_distance)
         normal_a = jnp.where(cc[:, None], n_l, normal_a)
         points_a = jnp.where(cc[:, None, None], pts_l, points_a)
         dist = jnp.where(cc[:, None], d_cc, dist)
@@ -168,7 +171,8 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
         supported = (tag_a <= shp.CYLINDER) & (tag_b <= shp.CYLINDER)
         pfm = ~handled & supported & pairs.valid
-        n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b, pose_b)
+        n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b,
+                                    pose_b, mask=pfm)
         normal_a = jnp.where(pfm[:, None], n_p, normal_a)
         points_a = points_a.at[:, 0].set(
             jnp.where(pfm[:, None], p_p, points_a[:, 0]))

@@ -346,3 +346,110 @@ def _edge_edge_point(r, t, he_a, he_b, normal, best_edge):
     mid = 0.5 * (p_a + p_b)
     # report the point on A's side (constraint builder re-midpoints via dist/2)
     return p_a, dist
+
+
+def cuboid_cuboid_manifold_2d(pose_a: Sim, pose_b: Sim, he_a: jax.Array,
+                              he_b: jax.Array, prediction: float):
+    """2D box-box SAT manifold (≙ the dim2 build of wgparry's cuboid_cuboid):
+    4 face axes, reference-edge vs incident-edge clipping → up to 2 points.
+
+    Returns (normal_a [N,2], points_a [N,2,2], dists [N,2], num_points [N]).
+    """
+    from wgmath_tpu.geometry import rot2
+
+    r_a = rot2.to_matrix(pose_a.rotation)  # world←A
+    r_b = rot2.to_matrix(pose_b.rotation)
+    # B in A frame
+    r = jnp.einsum("nji,njk->nik", r_a, r_b)  # R_aᵀ R_b
+    t = rot2.inv_mul_vec(pose_a.rotation,
+                         pose_b.translation - pose_a.translation)
+    t = t / pose_a.scale[..., None]
+    he_b_eff = he_b * (pose_b.scale / pose_a.scale)[..., None]
+    abs_r = jnp.abs(r) + _EPS
+
+    sep_a = jnp.abs(t) - (he_a + jnp.einsum("nij,nj->ni", abs_r, he_b_eff))
+    t_b = jnp.einsum("nij,ni->nj", r, t)
+    sep_b = jnp.abs(t_b) - (jnp.einsum("nij,ni->nj", abs_r, he_a) + he_b_eff)
+
+    face_sep = jnp.concatenate([sep_a, sep_b], axis=-1)  # [N,4]
+    best = jnp.argmax(face_sep, axis=-1)
+    separation = jnp.take_along_axis(face_sep, best[:, None], -1)[:, 0]
+
+    eye = jnp.eye(2, dtype=t.dtype)
+    n_a = eye[best % 2]
+    n_b = jnp.take_along_axis(r, (best - 2).clip(0)[:, None, None].repeat(2, 1),
+                              axis=2)[:, :, 0]
+    a_is_ref = best < 2
+    normal = jnp.where(a_is_ref[:, None], n_a, n_b)
+    flip = jnp.sum(normal * t, axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    # incident edge on the other box: its axis most anti-parallel to normal
+    ref_n = jnp.where(a_is_ref[:, None], normal, -normal)
+
+    # incident box (B if ref on A else A) vertices of the incident edge
+    def edge_verts(he, rot_cols, center, n_ref_in_box):
+        ax = jnp.argmax(jnp.abs(n_ref_in_box), axis=-1)
+        sgn = -jnp.sign(jnp.take_along_axis(n_ref_in_box, ax[:, None], -1))[:, 0]
+        other = 1 - ax
+        he_ax = jnp.take_along_axis(he, ax[:, None], -1)[:, 0]
+        he_ot = jnp.take_along_axis(he, other[:, None], -1)[:, 0]
+        col_ax = jnp.take_along_axis(rot_cols, ax[:, None, None].repeat(2, 1), 2)[:, :, 0]
+        col_ot = jnp.take_along_axis(rot_cols, other[:, None, None].repeat(2, 1), 2)[:, :, 0]
+        mid = center + col_ax * (sgn * he_ax)[:, None]
+        return (mid + col_ot * he_ot[:, None], mid - col_ot * he_ot[:, None])
+
+    eye_cols = jnp.broadcast_to(eye, r.shape)
+    n_ref_in_b = jnp.einsum("nij,ni->nj", r, ref_n)
+    vb0, vb1 = edge_verts(he_b_eff, r, t, n_ref_in_b)
+    va0, va1 = edge_verts(he_a, eye_cols, jnp.zeros_like(t), ref_n)
+    p0 = jnp.where(a_is_ref[:, None], vb0, va0)
+    p1 = jnp.where(a_is_ref[:, None], vb1, va1)
+
+    # clip against the reference edge's side planes
+    ref_he = jnp.where(a_is_ref[:, None], he_a, he_b_eff)
+    ref_ax = jnp.argmax(jnp.abs(jnp.where(a_is_ref[:, None], ref_n,
+                                          jnp.einsum("nij,ni->nj", r, ref_n))),
+                        axis=-1)
+    ref_t_idx = 1 - ref_ax
+    t_dir_local = jnp.take_along_axis(
+        jnp.where(a_is_ref[:, None, None], eye_cols, r),
+        ref_t_idx[:, None, None].repeat(2, 1), 2)[:, :, 0]
+    ref_center = jnp.where(a_is_ref[:, None], 0.0, t)
+    he_t = jnp.take_along_axis(ref_he, ref_t_idx[:, None], -1)[:, 0]
+
+    def clip(p0, p1, axis_dir, center, lim):
+        d0 = jnp.sum((p0 - center) * axis_dir, -1) - lim
+        d1 = jnp.sum((p1 - center) * axis_dir, -1) - lim
+        tt = d0 / jnp.where(jnp.abs(d0 - d1) < 1e-12, 1e-12, d0 - d1)
+        pi = p0 + (p1 - p0) * tt[:, None]
+        p0n = jnp.where((d0 > 0)[:, None], jnp.where((d1 <= 0)[:, None], pi, p0), p0)
+        p1n = jnp.where((d1 > 0)[:, None], jnp.where((d0 <= 0)[:, None], pi, p1), p1)
+        return p0n, p1n
+
+    for sgn_t in (1.0, -1.0):
+        p0, p1 = clip(p0, p1, sgn_t * t_dir_local, ref_center, he_t)
+
+    ref_face_n = jnp.where(a_is_ref[:, None], normal, -normal)
+    he_n = jnp.take_along_axis(ref_he, ref_ax[:, None], -1)[:, 0]
+    face_pt = ref_center + ref_face_n * he_n[:, None]
+    d0 = jnp.sum((p0 - face_pt) * ref_face_n, -1)
+    d1 = jnp.sum((p1 - face_pt) * ref_face_n, -1)
+    keep0 = d0 < prediction
+    keep1 = d1 < prediction
+    # slide incident points onto A's surface when the reference face is A's
+    shift0 = jnp.where(keep0 & a_is_ref, d0, 0.0)
+    shift1 = jnp.where(keep1 & a_is_ref, d1, 0.0)
+    p0 = p0 - ref_face_n * shift0[:, None]
+    p1 = p1 - ref_face_n * shift1[:, None]
+
+    pts = jnp.stack([p0, p1], axis=1)
+    dists = jnp.stack([jnp.where(keep0, d0, 1e9),
+                       jnp.where(keep1, d1, 1e9)], axis=1)
+    # compact: keep0 first
+    swap = ~keep0 & keep1
+    pts = jnp.where(swap[:, None, None], pts[:, ::-1], pts)
+    dists = jnp.where(swap[:, None], dists[:, ::-1], dists)
+    num = keep0.astype(jnp.int32) + keep1.astype(jnp.int32)
+    num = jnp.where(separation < prediction, num, 0)
+    return normal, pts, dists, num

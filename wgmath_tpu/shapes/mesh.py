@@ -1,0 +1,83 @@
+"""Mesh-backed shapes: triangle meshes + polylines (≙ wgparry
+shapes/trimesh.wgsl, polyline.wgsl, vtx_idx.wgsl and the CPU-side flattening
+in shape.rs:307-480).
+
+Meshes are flattened into the ShapeSet's shared vertex/index buffers with
+per-shape (first, count) references. The reference builds a per-shape BVH on
+the CPU and traverses it per thread in the narrow phase; the TPU-native first
+cut evaluates *all* triangles of a mesh against each colliding convex with
+masks — a dense [pairs × T_max] sweep the VPU eats for moderate meshes — and
+keeps the K deepest triangle contacts per pair. (A device LBVH over triangles
+is available via broad_phase.lbvh.build for large meshes.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from wgmath_tpu.shapes import shape as shp
+
+
+def trimesh(vertices: np.ndarray, indices: np.ndarray) -> shp.ShapeSet:
+    """One triangle-mesh collider (3D)."""
+    vertices = np.asarray(vertices, np.float32)
+    indices = np.asarray(indices, np.int32)
+    he = (vertices.max(0) - vertices.min(0)) / 2.0
+    center = (vertices.max(0) + vertices.min(0)) / 2.0
+    # conservative symmetric local bound (shape AABB helper reads params[4:7])
+    he_sym = np.abs(center) + he
+    params = np.zeros((1, shp.NUM_PARAMS), np.float32)
+    params[0, 0] = 0  # first_vtx
+    params[0, 1] = len(vertices)
+    params[0, 2] = 0  # first_idx
+    params[0, 3] = len(indices)
+    params[0, 4:7] = he_sym
+    return shp.ShapeSet(
+        jnp.asarray([shp.TRIMESH], jnp.int32), jnp.asarray(params),
+        jnp.asarray(vertices), jnp.asarray(indices),
+        kinds=frozenset((shp.TRIMESH,)))
+
+
+def polyline(vertices: np.ndarray, *, closed: bool = False) -> shp.ShapeSet:
+    """One polyline collider (2D boundary or 3D wire)."""
+    vertices = np.asarray(vertices, np.float32)
+    n = len(vertices)
+    segs = [[i, i + 1] for i in range(n - 1)]
+    if closed:
+        segs.append([n - 1, 0])
+    indices = np.asarray(segs, np.int32)
+    dim = vertices.shape[1]
+    he = (vertices.max(0) - vertices.min(0)) / 2.0
+    center = (vertices.max(0) + vertices.min(0)) / 2.0
+    he_sym = np.abs(center) + he
+    params = np.zeros((1, shp.NUM_PARAMS), np.float32)
+    params[0, 1] = n
+    params[0, 3] = len(indices)
+    params[0, 4:4 + dim] = he_sym
+    return shp.ShapeSet(
+        jnp.asarray([shp.POLYLINE], jnp.int32), jnp.asarray(params),
+        jnp.asarray(vertices), jnp.asarray(indices),
+        kinds=frozenset((shp.POLYLINE,)))
+
+
+def heightfield(heights: np.ndarray, scale_x: float = 1.0,
+                scale_z: float = 1.0) -> shp.ShapeSet:
+    """Grid heightfield as a trimesh (the reference's trimesh demo source)."""
+    heights = np.asarray(heights, np.float32)
+    nx, nz = heights.shape
+    xs = (np.arange(nx) - (nx - 1) / 2.0) * scale_x
+    zs = (np.arange(nz) - (nz - 1) / 2.0) * scale_z
+    verts = np.stack(np.meshgrid(xs, zs, indexing="ij"), -1)
+    verts = np.concatenate([verts[..., :1], heights[..., None],
+                            verts[..., 1:]], axis=-1).reshape(-1, 3)
+    tris = []
+    for i in range(nx - 1):
+        for j in range(nz - 1):
+            a = i * nz + j
+            b = a + 1
+            c = a + nz
+            d = c + 1
+            tris.append([a, b, c])
+            tris.append([b, d, c])
+    return trimesh(verts, np.asarray(tris, np.int32))
