@@ -130,3 +130,152 @@ SCENES = {
     "ball_pyramid3": lambda: pyramid(20, use_balls=True),
     "balls10k": lambda: balls(10_000, dim=3),
 }
+
+
+def keva_tower(levels: int = 8, per_level: int = 4) -> PhysicsState:
+    """Plank tower with alternating orientations (≙ keva3.rs)."""
+    from wgmath_tpu.geometry import quat as quat_ops
+
+    plank = np.asarray([0.9, 0.1, 0.3], np.float32)  # half extents
+    pos = []
+    rots = []
+    q_id = np.asarray([0.0, 0, 0, 1], np.float32)
+    q_90 = np.asarray([0.0, np.sin(np.pi / 4), 0, np.cos(np.pi / 4)], np.float32)
+    for lvl in range(levels):
+        rotated = lvl % 2 == 1
+        for i in range(per_level):
+            off = (i - (per_level - 1) / 2.0) * 0.7
+            y = plank[1] + lvl * 2.02 * plank[1]
+            if rotated:
+                pos.append([off, y, 0.0])
+                rots.append(q_90)
+            else:
+                pos.append([0.0, y, off])
+                rots.append(q_id)
+    n = len(pos)
+    he = jnp.tile(jnp.asarray(plank), (n, 1))
+    shapes = ShapeSet.cuboids(he)
+    mp = cuboid_local_mprops(he)
+    ground_he = jnp.asarray([[20.0, 1.0, 20.0]], jnp.float32)
+    all_shapes = ShapeSet.concat(ShapeSet.cuboids(ground_he), shapes)
+    trans = jnp.concatenate([jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32),
+                             jnp.asarray(pos, jnp.float32)])
+    rot = jnp.concatenate([jnp.asarray([[0.0, 0, 0, 1]], jnp.float32),
+                           jnp.asarray(np.stack(rots))])
+    poses = sim_ops.from_parts(rot, trans)
+    mpg = _merge_mprops(
+        cuboid_local_mprops(ground_he, dynamic=jnp.asarray([False])), mp)
+    bodies = Bodies(poses, Velocity.zero(n + 1, 3), mpg)
+    return new_state(bodies, all_shapes)
+
+
+def many_pyramids(count: int = 4, levels: int = 10) -> PhysicsState:
+    """Grid of pyramids (≙ many_pyramids3.rs)."""
+    he = 0.5
+    spacing_p = 2.0 * he * 1.02
+    pos = []
+    grid = int(np.ceil(np.sqrt(count)))
+    extent = levels * spacing_p * 1.5
+    k = 0
+    for gx in range(grid):
+        for gz in range(grid):
+            if k >= count:
+                break
+            k += 1
+            cx = (gx - (grid - 1) / 2.0) * extent
+            cz = (gz - (grid - 1) / 2.0) * extent
+            for lvl in range(levels):
+                width = levels - lvl
+                for i in range(width):
+                    for j in range(width):
+                        pos.append([
+                            cx + (i - width / 2.0 + 0.5) * spacing_p,
+                            he + lvl * 2.0 * he * 1.01,
+                            cz + (j - width / 2.0 + 0.5) * spacing_p,
+                        ])
+    pos = np.asarray(pos, np.float32)
+    n = len(pos)
+    he_arr = jnp.full((n, 3), he)
+    shapes = ShapeSet.cuboids(he_arr)
+    mp = cuboid_local_mprops(he_arr)
+    return _with_ground(shapes, jnp.asarray(pos), mp,
+                        ground_he=(200.0, 1.0, 200.0))
+
+
+def pendulum_chain(links: int = 8, *, joint: str = "spherical") -> PhysicsState:
+    """Chain of balls linked by joints hanging from a static anchor
+    (≙ joints3.rs ball/revolute joint demos)."""
+    from wgmath_tpu.dynamics.joint import revolute_joints, spherical_joints
+
+    n = links + 1
+    r = 0.2
+    shapes = ShapeSet.balls(jnp.full((n,), r))
+    trans = np.zeros((n, 3), np.float32)
+    trans[:, 0] = np.arange(n) * 1.0
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1)),
+                               jnp.asarray(trans))
+    dynamic = np.ones(n, bool)
+    dynamic[0] = False
+    mp = ball_local_mprops(jnp.full((n,), r), dynamic=jnp.asarray(dynamic))
+    bodies = Bodies(poses, Velocity.zero(n, 3), mp)
+    body_a = list(range(links))
+    body_b = list(range(1, links + 1))
+    anchors_a = [[1.0, 0.0, 0.0]] * links
+    anchors_b = [[-1.0 if False else 0.0, 0.0, 0.0]] * links
+    anchors_b = [[0.0, 0.0, 0.0]] * links
+    # anchor at midpoint: a's frame at +0.5, b's at −0.5
+    anchors_a = [[0.5, 0.0, 0.0]] * links
+    anchors_b = [[-0.5, 0.0, 0.0]] * links
+    if joint == "revolute":
+        joints = revolute_joints(body_a, body_b, anchors_a, anchors_b,
+                                 axes=[[0.0, 0.0, 1.0]] * links,
+                                 dynamic_mask=dynamic)
+    else:
+        joints = spherical_joints(body_a, body_b, anchors_a, anchors_b,
+                                  dynamic_mask=dynamic)
+    return new_state(bodies, shapes, joints)
+
+
+def trimesh_scene(n_balls: int = 100) -> PhysicsState:
+    """Balls raining on a bumpy heightfield (≙ trimesh3.rs)."""
+    from wgmath_tpu.shapes.mesh import heightfield
+
+    rng = np.random.default_rng(4)
+    hx = 16
+    xs = np.linspace(-2 * np.pi, 2 * np.pi, hx)
+    hills = (np.sin(xs)[:, None] * np.cos(xs)[None, :]).astype(np.float32)
+    mesh = heightfield(hills, 1.0, 1.0)
+    r = 0.3
+    shapes = ShapeSet.concat(mesh, ShapeSet.balls(jnp.full((n_balls,), r)))
+    side = int(np.ceil(np.sqrt(n_balls)))
+    coords = np.stack(np.meshgrid(np.arange(side), np.arange(side),
+                                  indexing="ij"), -1).reshape(-1, 2)[:n_balls]
+    pos = np.zeros((n_balls, 3), np.float32)
+    pos[:, [0, 2]] = (coords - side / 2.0) * 2.5 * r
+    pos[:, 1] = 3.0 + rng.uniform(0, 2, n_balls)
+    trans = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), jnp.asarray(pos)])
+    n = n_balls + 1
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1)),
+                               trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[8.0, 1.0, 8.0]]),
+                            dynamic=jnp.asarray([False])),
+        ball_local_mprops(jnp.full((n_balls,), r)),
+    )
+    bodies = Bodies(poses, Velocity.zero(n, 3), mp)
+    return new_state(bodies, shapes)
+
+
+def balls2d(n: int = 300) -> PhysicsState:
+    return balls(n, dim=2)
+
+
+SCENES.update({
+    "keva3": keva_tower,
+    "many_pyramids3": many_pyramids,
+    "joint_ball3": lambda: pendulum_chain(8, joint="spherical"),
+    "joint_revolute3": lambda: pendulum_chain(8, joint="revolute"),
+    "trimesh3": trimesh_scene,
+    "balls2": balls2d,
+    "pyramid2": lambda: boxes(200, dim=2),
+})
