@@ -24,11 +24,25 @@ from __future__ import annotations
 import functools
 import json
 import math
+import os
+import sys
 import time
 
 import jax
+
+# persistent compile cache: repeat bench runs skip the ~30-60 s/kernel remote
+# compiles entirely
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _sync(x):
@@ -37,7 +51,7 @@ def _sync(x):
     return float(jnp.ravel(arr)[0])
 
 
-def slope_time(make_fn, args, *, k_small=None, k_large=None, reps=3,
+def slope_time(make_fn, args, *, k_small=4, k_large=24, reps=3,
                target_s=0.4):
     """Seconds per iteration via two-point slope timing.
 
@@ -57,12 +71,6 @@ def slope_time(make_fn, args, *, k_small=None, k_large=None, reps=3,
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    if k_large is None:
-        pilot_k = 16
-        t_pilot = run(pilot_k)
-        per_it = max(t_pilot / pilot_k, 1e-7)
-        k_large = int(min(max(target_s / per_it, 32), 4096))
-        k_small = max(k_large // 8, 1)
     t_small = run(k_small)
     t_large = run(k_large)
     return max((t_large - t_small) / (k_large - k_small), 1e-9)
@@ -89,7 +97,8 @@ def bench_gemm():
                     return jax.lax.fori_loop(0, k, body, a)
                 return f
 
-            t = slope_time(make, (a, b))
+            ks = (64, 512) if n == 1024 else (4, 40)
+            t = slope_time(make, (a, b), k_small=ks[0], k_large=ks[1])
             out[f"gemm{n}_f32_{prec}_tflops"] = 2 * n**3 / t / 1e12
     return out
 
@@ -110,7 +119,7 @@ def bench_gemv():
             return jax.lax.fori_loop(0, k, body, x)
         return f
 
-    t = slope_time(make, (a, x))
+    t = slope_time(make, (a, x), k_small=32, k_large=256)
     return {"gemv4096_gbps": (n * n + 2 * n) * 4 / t / 1e9}
 
 
@@ -132,7 +141,7 @@ def bench_geometry():
             return jax.lax.fori_loop(0, k, body, v)
         return f
 
-    t_rot = slope_time(make_rot, (qj, vj))
+    t_rot = slope_time(make_rot, (qj, vj), k_small=16, k_large=128)
 
     def make_sim(k):
         from wgmath_tpu.geometry import sim as sim_ops
@@ -149,7 +158,7 @@ def bench_geometry():
             return jax.lax.fori_loop(0, k, body, s0).translation
         return f
 
-    t_sim = slope_time(make_sim, (qj, vj))
+    t_sim = slope_time(make_sim, (qj, vj), k_small=8, k_large=64)
     return {
         "quat_rotate_1m_gops": n / t_rot / 1e9,
         "sim3_compose_inv_1m_gops": n / t_sim / 1e9,
@@ -182,7 +191,7 @@ def bench_fused_graph():
             return jax.lax.fori_loop(0, k, body, a)
         return f
 
-    t = slope_time(make, (a, b))
+    t = slope_time(make, (a, b), k_small=8, k_large=64)
     return {"fused_gemm_reduce_normalize_2048_ms": t * 1e3}
 
 
@@ -243,8 +252,11 @@ def bench_physics(n_bodies=10_000, settle_frames=90):
     config = PipelineConfig(pair_capacity=4096, max_colors=16,
                             broad_phase_block=512)
     state = balls(n_bodies, dim=3)
-    for _ in range(settle_frames):
+    for f in range(settle_frames):
         state, config = step_checked(state, params, config)
+        if f % 15 == 0:
+            _log(f"physics settle frame {f}, pairs={int(state.pair_count)}, "
+                 f"cap={config.pair_capacity}")
 
     def make(k):
         def f(state):
@@ -268,10 +280,14 @@ def main():
     for name, fn in benches:
         try:
             t0 = time.time()
-            results.update(fn())
+            _log(f"start {name}")
+            out = fn()
+            results.update(out)
             results[f"_{name}_bench_wall_s"] = round(time.time() - t0, 1)
+            _log(f"done {name}: {out}")
         except Exception as e:  # pragma: no cover
             fails[name] = f"{type(e).__name__}: {e}"
+            _log(f"FAIL {name}: {e}")
 
     # north-star targets (BASELINE.md): 90% of f32 MXU roofline on v5e
     # (≈ 197 bf16-TF/s ÷ 6 passes ≈ 33 TF → target 0.9×33 ≈ 30 for

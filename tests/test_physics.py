@@ -300,3 +300,20 @@ def test_trimesh_heightfield_balls_rest():
     np.testing.assert_allclose(y, 0.4, atol=0.03)
     v = np.asarray(state.bodies.vels.linear[1:])
     assert np.max(np.abs(v)) < 0.1, v
+
+
+def test_multi_step_matches_stepwise():
+    from wgmath_tpu.pipeline import multi_step
+
+    params = SimParams()
+    state = _ball_on_ground_world(ball_z=1.0)
+    cfg = CFG
+    # warm: one step to materialize prev_constraints
+    s1 = step(state, params, cfg, warmstart=False)
+    a = multi_step(s1, params, cfg, 5)
+    b = s1
+    for _ in range(5):
+        b = step(b, params, cfg, warmstart=True)
+    np.testing.assert_allclose(np.asarray(a.bodies.poses.translation),
+                               np.asarray(b.bodies.poses.translation),
+                               rtol=1e-6, atol=1e-6)

@@ -123,6 +123,23 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                         state.joints)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "config", "n_steps"))
+def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
+               n_steps: int) -> PhysicsState:
+    """Advance ``n_steps`` frames inside one compiled program (lax.scan) —
+    amortizes dispatch overhead for serving/benchmark loops. Requires a
+    warmed state (prev_constraints present) so the carry structure is fixed.
+    """
+    if state.prev_constraints is None:
+        state = step(state, params, config, warmstart=False)
+
+    def body(s, _):
+        return step(s, params, config, warmstart=True), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
 def step_checked(state: PhysicsState, params: SimParams,
                  config: PipelineConfig, stats: RunStats | None = None):
     """Host wrapper: step, then re-bucket pair capacity and re-run if the
