@@ -57,15 +57,23 @@ def find_pairs(mins: jax.Array, maxs: jax.Array, *, capacity: int,
                               block=block)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "block", "max_per_row"))
 def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
                        row_offset, mins: jax.Array, maxs: jax.Array, *,
                        capacity: int, row_active=None, col_active=None,
-                       block: int = 256) -> PairList:
+                       block: int = 256, max_per_row: int = 32) -> PairList:
     """Pairs (i, j) with i ∈ [row_offset, row_offset+R), j global, i < j.
 
     ``row_offset`` may be a traced scalar (device index × shard size under
     shard_map).
+
+    Compaction is two-level to keep scatters tiny (XLA TPU scatter cost is
+    ∝ index count): a per-row ``top_k`` extracts up to ``max_per_row``
+    overlapping columns (a vectorized sort, not a scatter), then only the
+    [block × max_per_row] survivors scatter into the output buffer. Rows
+    with more than ``max_per_row`` overlaps signal through ``count`` so the
+    host re-buckets (they only occur in pathologically dense scenes).
     """
     r = row_mins.shape[0]
     n = mins.shape[0]
@@ -82,9 +90,10 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
     row_offset = jnp.asarray(row_offset, jnp.int32)
 
     cols = jnp.arange(n, dtype=jnp.int32)
+    kk = min(max_per_row, n)
 
     def scan_block(carry, ib):
-        out_a, out_b, count = carry
+        out_a, out_b, emit_count, true_count, row_overflow = carry
         local_rows = ib * block + jnp.arange(block, dtype=jnp.int32)
         grows = row_offset + local_rows
         rmin = rmins_p[local_rows]  # [B, dim]
@@ -92,26 +101,47 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
         overlap = jnp.all(
             (rmin[:, None, :] <= maxs[None, :, :])
             & (mins[None, :, :] <= rmax[:, None, :]), axis=-1)
-        m = overlap & (grows[:, None] < cols[None, :])
+        # each unordered pair is emitted by its HIGHER-index row: hub
+        # colliders (large statics like the ground) live at low indices by
+        # scene-builder convention, so their hundreds of partners emit from
+        # the partners' rows and per-row budgets stay small
+        m = overlap & (grows[:, None] > cols[None, :])
         m &= ract_p[local_rows][:, None] & col_active[None, :]
-        flat = m.reshape(-1)
-        a_flat = jnp.broadcast_to(grows[:, None], m.shape).reshape(-1)
-        b_flat = jnp.broadcast_to(cols[None, :], m.shape).reshape(-1)
-        local = jnp.cumsum(flat.astype(jnp.int32)) - 1
-        pos = jnp.where(flat, count + local, capacity)
+
+        row_counts = jnp.sum(m, axis=-1, dtype=jnp.int32)  # [B]
+        row_overflow |= jnp.any(row_counts > kk)
+        # per-row hit extraction: top-k over (hit ? N - col : 0)
+        score = jnp.where(m, n - cols[None, :], 0)
+        top, _ = jax.lax.top_k(score, kk)  # [B, kk]
+        hit = top > 0
+        b_ids = n - top  # recover column ids
+        a_ids = jnp.broadcast_to(grows[:, None], (block, kk))
+
+        flat_hit = hit.reshape(-1)
+        local = jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
+        pos = jnp.where(flat_hit, emit_count + local, capacity)
         pos = jnp.where(pos < capacity, pos, capacity)  # overflow → dropped
-        out_a = out_a.at[pos].set(a_flat, mode="drop")
-        out_b = out_b.at[pos].set(b_flat, mode="drop")
-        count = count + jnp.sum(flat, dtype=jnp.int32)
-        return (out_a, out_b, count), None
+        out_a = out_a.at[pos].set(a_ids.reshape(-1), mode="drop")
+        out_b = out_b.at[pos].set(b_ids.reshape(-1), mode="drop")
+        emit_count = emit_count + jnp.sum(flat_hit, dtype=jnp.int32)
+        true_count = true_count + jnp.sum(row_counts)
+        return (out_a, out_b, emit_count, true_count, row_overflow), None
 
     # seed the carry with row_offset*0 so its varying-axis type matches the
     # loop body under shard_map (row_offset is device-varying there)
     taint = row_offset * 0
     init = (jnp.zeros(capacity, jnp.int32) + taint,
             jnp.zeros(capacity, jnp.int32) + taint,
-            jnp.int32(0) + taint)
-    (out_a, out_b, count), _ = jax.lax.scan(
+            jnp.int32(0) + taint,
+            jnp.int32(0) + taint,
+            (taint != 0))
+    (out_a, out_b, emit_count, true_count, row_overflow), _ = jax.lax.scan(
         scan_block, init, jnp.arange(nb, dtype=jnp.int32))
-    valid = jnp.arange(capacity) < jnp.minimum(count, capacity)
-    return PairList(out_a, out_b, valid, count)
+    valid = jnp.arange(capacity) < jnp.minimum(emit_count, capacity)
+    # per-row overflow re-buckets via the count signal (like LBVH windows)
+    count = jnp.where(row_overflow, jnp.maximum(true_count, capacity + 1),
+                      true_count)
+    # normalize to (a < b) for downstream pair-key matching
+    lo = jnp.minimum(out_a, out_b)
+    hi = jnp.maximum(out_a, out_b)
+    return PairList(lo, hi, valid, count)

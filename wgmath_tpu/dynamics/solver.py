@@ -106,8 +106,8 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
     carry the constraint index so priorities are unique.
     """
     c = cons.body_a.shape[0]
-    if c > (1 << 16):
-        raise ValueError("constraint capacity above 2^16 needs wider keys")
+    idx_bits = max(int(c - 1).bit_length(), 1)  # unique low bits per index
+    hash_shift = idx_bits
     inf = jnp.uint32(0xFFFFFFFF)
     idx = jnp.arange(c, dtype=jnp.int32)
     dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
@@ -119,7 +119,8 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
         h = (idx.astype(jnp.uint32) * jnp.uint32(2654435761)
              + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
         h ^= h >> 15
-        return (h << 16) | idx.astype(jnp.uint32)
+        # random high bits + unique index low bits → unique keys, Luby order
+        return (h << hash_shift) | idx.astype(jnp.uint32)
 
     def claim(colors, color):
         def one_round(r, state):
