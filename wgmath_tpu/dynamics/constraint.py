@@ -381,3 +381,36 @@ def remove_cfm_and_bias(cons: ContactConstraints) -> ContactConstraints:
         t_rhs=cons.t_rhs_wo_bias,
         cfm_factor=jnp.ones_like(cons.cfm_factor),
     )
+
+
+def compact_contacts(contacts: Contacts, capacity: int):
+    """Compact valid manifolds into a ``capacity``-sized buffer.
+
+    AABB-overlap pairs vastly outnumber true contacts (a sphere's box
+    overlaps ~2-3× more neighbors than it touches), and every solver pass
+    costs ∝ the constraint buffer size — compacting after the narrow phase
+    shrinks all downstream work to the live contact count. Returns
+    ``(contacts, true_count)``; overflow signals through the count for host
+    re-bucketing, exactly like the pair list.
+    """
+    c = contacts.capacity
+    flags = contacts.valid
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    slot = jnp.where(flags & (pos < capacity), pos, capacity)
+    count = jnp.sum(flags.astype(jnp.int32))
+
+    def scatter(x, fill=0):
+        shape = (capacity,) + x.shape[1:]
+        base = jnp.full(shape, fill, x.dtype)
+        return base.at[slot].set(x, mode="drop")
+
+    out = Contacts(
+        body_a=scatter(contacts.body_a),
+        body_b=scatter(contacts.body_b),
+        normal_a=scatter(contacts.normal_a),
+        points_a=scatter(contacts.points_a),
+        dist=scatter(contacts.dist, fill=1e9),
+        num_points=scatter(contacts.num_points),
+        valid=(jnp.arange(capacity) < jnp.minimum(count, capacity)),
+    )
+    return out, count

@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import tree_util
 
 from wgmath_tpu.broad_phase.brute_force import find_pairs
@@ -45,7 +46,7 @@ class PhysicsState:
     bodies: Bodies
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
-    pair_count: jax.Array  # i32 [] — last frame's true pair count
+    pair_count: jax.Array  # i32 [2] — [true pair count, true contact count]
     joints: Any = None  # JointSet | None
 
     def tree_flatten(self):
@@ -62,6 +63,7 @@ class PipelineConfig:
     """Static configuration (shapes the compiled program)."""
 
     pair_capacity: int = 1024
+    contact_capacity: int = 0  # 0 → no compaction (buffer = pair capacity)
     use_jacobi: bool = False
     max_colors: int = 32
     max_per_body: int = 32
@@ -77,7 +79,7 @@ def _has_mesh(shapes: ShapeSet) -> bool:
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.int32(0), joints)
+    return PhysicsState(bodies, shapes, None, jnp.zeros(2, jnp.int32), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -108,6 +110,13 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             bodies.poses, state.shapes, pairs, params.prediction_distance,
             pair_cap=config.mesh_pair_capacity, k_best=config.mesh_k_best)
         contacts = concat_contacts(contacts, mesh_contacts)
+    if config.contact_capacity:
+        from wgmath_tpu.dynamics.constraint import compact_contacts
+
+        contacts, contact_count = compact_contacts(contacts,
+                                                   config.contact_capacity)
+    else:
+        contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
 
     prev = state.prev_constraints if warmstart else None
     poses, vels, cons = solve(
@@ -119,7 +128,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         joints=state.joints,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    return PhysicsState(new_bodies, state.shapes, cons, pairs.count,
+    counts = jnp.stack([pairs.count, contact_count])
+    return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints)
 
 
@@ -147,12 +157,16 @@ def step_checked(state: PhysicsState, params: SimParams,
     ``(state, config)`` — the possibly-enlarged config keys the jit cache."""
     first_frame = state.prev_constraints is None
     new = step(state, params, config, warmstart=not first_frame)
-    count = int(new.pair_count)
-    if count > config.pair_capacity:
-        config = dataclasses.replace(
-            config, pair_capacity=capacity_bucket(count))
+    counts = np.asarray(new.pair_count)
+    regrow = {}
+    if int(counts[0]) > config.pair_capacity:
+        regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
+    if config.contact_capacity and int(counts[1]) > config.contact_capacity:
+        regrow["contact_capacity"] = capacity_bucket(int(counts[1]))
+    if regrow:
+        config = dataclasses.replace(config, **regrow)
         if stats is not None:
-            stats.bump("pair_capacity_regrowths")
+            stats.bump("capacity_regrowths")
         new = step(state, params, config, warmstart=not first_frame)
     if stats is not None:
         stats.bump("steps")
