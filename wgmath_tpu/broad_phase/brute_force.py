@@ -48,13 +48,15 @@ class PairList:
         return self.body_a.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "block", "max_per_row"))
 def find_pairs(mins: jax.Array, maxs: jax.Array, *, capacity: int,
-               active=None, block: int = 256) -> PairList:
+               active=None, block: int = 256,
+               max_per_row: int = 64) -> PairList:
     """All overlapping AABB pairs (i < j), compacted into ``capacity`` slots."""
     return find_pairs_partial(mins, maxs, 0, mins, maxs, capacity=capacity,
                               row_active=active, col_active=active,
-                              block=block)
+                              block=block, max_per_row=max_per_row)
 
 
 @functools.partial(jax.jit,
@@ -138,9 +140,10 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
     (out_a, out_b, emit_count, true_count, row_overflow), _ = jax.lax.scan(
         scan_block, init, jnp.arange(nb, dtype=jnp.int32))
     valid = jnp.arange(capacity) < jnp.minimum(emit_count, capacity)
-    # per-row overflow re-buckets via the count signal (like LBVH windows)
-    count = jnp.where(row_overflow, jnp.maximum(true_count, capacity + 1),
-                      true_count)
+    # row overflow (a row had more than max_per_row hits → pairs dropped)
+    # signals with a NEGATIVE count so the host grows max_per_row, distinct
+    # from plain capacity overflow (count > capacity)
+    count = jnp.where(row_overflow, -jnp.maximum(true_count, 1), true_count)
     # normalize to (a < b) for downstream pair-key matching
     lo = jnp.minimum(out_a, out_b)
     hi = jnp.maximum(out_a, out_b)

@@ -68,6 +68,7 @@ class PipelineConfig:
     max_colors: int = 32
     max_per_body: int = 32
     broad_phase_block: int = 256
+    broad_phase_max_per_row: int = 64
     mesh_pair_capacity: int = 512
     mesh_k_best: int = 4
 
@@ -97,7 +98,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     mins, maxs = world_aabbs(state.shapes, bodies.poses,
                              margin=params.prediction_distance)
     pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
-                       block=config.broad_phase_block)
+                       block=config.broad_phase_block,
+                       max_per_row=config.broad_phase_max_per_row)
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance)
     if _has_mesh(state.shapes):
@@ -159,6 +161,9 @@ def step_checked(state: PhysicsState, params: SimParams,
     new = step(state, params, config, warmstart=not first_frame)
     counts = np.asarray(new.pair_count)
     regrow = {}
+    if int(counts[0]) < 0:  # broad-phase row overflow → widen the row budget
+        regrow["broad_phase_max_per_row"] = config.broad_phase_max_per_row * 2
+        counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
     if config.contact_capacity and int(counts[1]) > config.contact_capacity:
