@@ -250,7 +250,8 @@ def bench_physics(n_bodies=10_000, settle_frames=90):
 
     params = SimParams()
     config = PipelineConfig(pair_capacity=4096, contact_capacity=2048,
-                            max_colors=16, broad_phase_block=512)
+                            max_colors=16, broad_phase_block=512,
+                            sat_pair_capacity=4096, gs_cmax=1024)
     state = balls(n_bodies, dim=3)
     for f in range(settle_frames):
         state, config = step_checked(state, params, config)

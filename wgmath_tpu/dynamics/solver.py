@@ -505,7 +505,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           params: SimParams, *, use_jacobi: bool = False,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
-          joints=None):
+          joints=None, gs_cmax: int = 0):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints)``. One jit-traceable program.
 
@@ -543,8 +543,11 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         colors = color_constraints(cons, n, max_colors=max_colors)
         num_colors = jnp.minimum(jnp.max(jnp.where(cons.valid, colors, 0)),
                                  max_colors)
-        # a color class holds ≤ one constraint per dynamic body
+        # a color class holds ≤ one constraint per dynamic body; gs_cmax
+        # tightens the per-color window (host-grown via the overflow count)
         cmax = min(cons.body_a.shape[0], n + 64)
+        if gs_cmax:
+            cmax = min(cmax, gs_cmax)
         layout = build_color_layout(colors, cons.valid,
                                     max_colors=max_colors, cmax=cmax)
         csr = None
@@ -590,7 +593,13 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
 
     vels, poses, cons = jax.lax.fori_loop(
         0, params.num_solver_iterations, substep, (vels, bodies.poses, cons))
-    return poses, vels, cons
+    # largest color-class size (0 when jacobi): host grows gs_cmax on overflow
+    if use_jacobi:
+        max_class = jnp.int32(0)
+    else:
+        _, _, class_counts = layout
+        max_class = jnp.max(class_counts[1:max_colors + 1])
+    return poses, vels, cons, max_class
 
 
 def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,

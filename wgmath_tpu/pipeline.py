@@ -46,7 +46,7 @@ class PhysicsState:
     bodies: Bodies
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
-    pair_count: jax.Array  # i32 [2] — [true pair count, true contact count]
+    pair_count: jax.Array  # i32 [3] — [pairs, contacts, max GS color class]
     joints: Any = None  # JointSet | None
 
     def tree_flatten(self):
@@ -69,6 +69,9 @@ class PipelineConfig:
     max_per_body: int = 32
     broad_phase_block: int = 256
     broad_phase_max_per_row: int = 64
+    sat_pair_capacity: int = 0  # >0: compact cuboid-cuboid pairs before SAT
+    pfm_pair_capacity: int = 0  # >0: compact support-mapped pairs before GJK
+    gs_cmax: int = 0  # >0: per-color GS window (host-grown on overflow)
     mesh_pair_capacity: int = 512
     mesh_k_best: int = 4
 
@@ -80,7 +83,7 @@ def _has_mesh(shapes: ShapeSet) -> bool:
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.zeros(2, jnp.int32), joints)
+    return PhysicsState(bodies, shapes, None, jnp.zeros(3, jnp.int32), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -101,7 +104,9 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                        block=config.broad_phase_block,
                        max_per_row=config.broad_phase_max_per_row)
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
-                            params.prediction_distance)
+                            params.prediction_distance,
+                            sat_capacity=config.sat_pair_capacity,
+                            pfm_capacity=config.pfm_pair_capacity)
     if _has_mesh(state.shapes):
         from wgmath_tpu.queries.mesh_contact import (
             concat_contacts,
@@ -121,16 +126,17 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
 
     prev = state.prev_constraints if warmstart else None
-    poses, vels, cons = solve(
+    poses, vels, cons, max_class = solve(
         bodies, mprops, contacts, params,
         use_jacobi=config.use_jacobi,
         max_colors=config.max_colors,
         max_per_body=config.max_per_body,
         warmstart_from=prev,
         joints=state.joints,
+        gs_cmax=config.gs_cmax,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    counts = jnp.stack([pairs.count, contact_count])
+    counts = jnp.stack([pairs.count, contact_count, max_class])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints)
 
@@ -168,6 +174,8 @@ def step_checked(state: PhysicsState, params: SimParams,
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
     if config.contact_capacity and int(counts[1]) > config.contact_capacity:
         regrow["contact_capacity"] = capacity_bucket(int(counts[1]))
+    if config.gs_cmax and int(counts[2]) > config.gs_cmax:
+        regrow["gs_cmax"] = capacity_bucket(int(counts[2]), floor=256)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:

@@ -80,9 +80,31 @@ def ball_cuboid(pose_ball: Sim, pose_box: Sim, radius, half_extents):
     return pt_world, n_world, dist
 
 
+def _compact_mask(mask, capacity):
+    """Indices of up to ``capacity`` set entries of ``mask`` (+active flags).
+
+    The narrow-phase analog of the EPA batch compaction: expensive kernels
+    (SAT, GJK) run on just the pairs of their type instead of every slot —
+    the TPU answer to SURVEY §7 hard part 6's "partition pairs by type-pair".
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    sel = jnp.zeros((capacity,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    active = jnp.arange(capacity) < count
+    return sel, active
+
+
 def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
-                 prediction_distance: float) -> Contacts:
-    """Dispatch contact kernels over the pair list; one manifold per pair."""
+                 prediction_distance: float, *, sat_capacity: int = 0,
+                 pfm_capacity: int = 0) -> Contacts:
+    """Dispatch contact kernels over the pair list; one manifold per pair.
+
+    ``sat_capacity``/``pfm_capacity`` > 0 compact the matching pairs into a
+    bounded batch before running the expensive kernel (0 = dense evaluation
+    over every slot — right when most pairs are of that type)."""
     dim = poses.translation.shape[-1]
     p_max = max_points(dim)
     a, b = pairs.body_a, pairs.body_b
@@ -151,13 +173,25 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         else:
             from wgmath_tpu.queries.sat import cuboid_cuboid_manifold_2d as _cc_fn
 
-        cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
-        n_l, pts_l, d_cc, np_cc = _cc_fn(
-            pose_a, pose_b, par_a[:, :dim], par_b[:, :dim], prediction_distance)
-        normal_a = jnp.where(cc[:, None], n_l, normal_a)
-        points_a = jnp.where(cc[:, None, None], pts_l, points_a)
-        dist = jnp.where(cc[:, None], d_cc, dist)
-        num_points = jnp.where(cc, np_cc, num_points)
+        cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID) & pairs.valid
+        if sat_capacity:
+            sel, act = _compact_mask(cc, sat_capacity)
+            n_l, pts_l, d_cc, np_cc = _cc_fn(
+                _take_sim(poses, a[sel]), _take_sim(poses, b[sel]),
+                par_a[sel, :dim], par_b[sel, :dim], prediction_distance)
+            sel_drop = jnp.where(act, sel, c)
+            normal_a = normal_a.at[sel_drop].set(n_l, mode="drop")
+            points_a = points_a.at[sel_drop].set(pts_l, mode="drop")
+            dist = dist.at[sel_drop].set(d_cc, mode="drop")
+            num_points = num_points.at[sel_drop].set(np_cc, mode="drop")
+        else:
+            n_l, pts_l, d_cc, np_cc = _cc_fn(
+                pose_a, pose_b, par_a[:, :dim], par_b[:, :dim],
+                prediction_distance)
+            normal_a = jnp.where(cc[:, None], n_l, normal_a)
+            points_a = jnp.where(cc[:, None, None], pts_l, points_a)
+            dist = jnp.where(cc[:, None], d_cc, dist)
+            num_points = jnp.where(cc, np_cc, num_points)
 
     # --- generic support-mapped pairs via GJK (capsule/cylinder/cone/…) ------
     # ≙ narrow_phase.wgsl pfm_pfm fallback: any pair not handled by an
@@ -171,13 +205,24 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
         supported = (tag_a <= shp.CYLINDER) & (tag_b <= shp.CYLINDER)
         pfm = ~handled & supported & pairs.valid
-        n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b,
-                                    pose_b, mask=pfm)
-        normal_a = jnp.where(pfm[:, None], n_p, normal_a)
-        points_a = points_a.at[:, 0].set(
-            jnp.where(pfm[:, None], p_p, points_a[:, 0]))
-        dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
-        num_points = jnp.where(pfm, 1, num_points)
+        if pfm_capacity:
+            sel, act = _compact_mask(pfm, pfm_capacity)
+            n_p, p_p, d_p = pfm_contact(
+                tag_a[sel], par_a[sel], _take_sim(poses, a[sel]),
+                tag_b[sel], par_b[sel], _take_sim(poses, b[sel]), mask=act)
+            sel_drop = jnp.where(act, sel, c)
+            normal_a = normal_a.at[sel_drop].set(n_p, mode="drop")
+            points_a = points_a.at[sel_drop, 0].set(p_p, mode="drop")
+            dist = dist.at[sel_drop, 0].set(d_p, mode="drop")
+            num_points = num_points.at[sel_drop].set(1, mode="drop")
+        else:
+            n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b,
+                                        pose_b, mask=pfm)
+            normal_a = jnp.where(pfm[:, None], n_p, normal_a)
+            points_a = points_a.at[:, 0].set(
+                jnp.where(pfm[:, None], p_p, points_a[:, 0]))
+            dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
+            num_points = jnp.where(pfm, 1, num_points)
 
     valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
     return Contacts(a, b, normal_a, points_a, dist, num_points, valid)
