@@ -51,20 +51,30 @@ class PairList:
 @functools.partial(jax.jit,
                    static_argnames=("capacity", "block", "max_per_row"))
 def find_pairs(mins: jax.Array, maxs: jax.Array, *, capacity: int,
-               active=None, block: int = 256,
-               max_per_row: int = 64) -> PairList:
-    """All overlapping AABB pairs (i < j), compacted into ``capacity`` slots."""
+               active=None, block: int = 256, max_per_row: int = 64,
+               ball_radius=None, margin: float = 0.0) -> PairList:
+    """All overlapping AABB pairs (i < j), compacted into ``capacity`` slots.
+
+    ``ball_radius``: optional [N] array, NaN for non-ball colliders. When
+    given, ball-ball candidates use the *exact* sphere-sphere test instead of
+    the conservative AABB box — on the VPU the exact test costs the same as
+    the box test and cuts the pair list (and all downstream per-pair work)
+    several-fold in ball-heavy scenes.
+    """
     return find_pairs_partial(mins, maxs, 0, mins, maxs, capacity=capacity,
                               row_active=active, col_active=active,
-                              block=block, max_per_row=max_per_row)
+                              block=block, max_per_row=max_per_row,
+                              ball_radius=ball_radius, margin=margin)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("capacity", "block", "max_per_row"))
+                   static_argnames=("capacity", "block", "max_per_row",
+                                    "margin"))
 def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
                        row_offset, mins: jax.Array, maxs: jax.Array, *,
                        capacity: int, row_active=None, col_active=None,
-                       block: int = 256, max_per_row: int = 32) -> PairList:
+                       block: int = 256, max_per_row: int = 32,
+                       ball_radius=None, margin: float = 0.0) -> PairList:
     """Pairs (i, j) with i ∈ [row_offset, row_offset+R), j global, i < j.
 
     ``row_offset`` may be a traced scalar (device index × shard size under
@@ -93,6 +103,11 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
 
     cols = jnp.arange(n, dtype=jnp.int32)
     kk = min(max_per_row, n)
+    if ball_radius is not None:
+        centers = 0.5 * (mins + maxs)
+        rad_p = jnp.pad(jnp.asarray(ball_radius), (0, pad),
+                        constant_values=jnp.nan)
+        cen_p = 0.5 * (rmins_p + rmaxs_p)
 
     def scan_block(carry, ib):
         out_a, out_b, emit_count, true_count, row_overflow = carry
@@ -103,6 +118,15 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
         overlap = jnp.all(
             (rmin[:, None, :] <= maxs[None, :, :])
             & (mins[None, :, :] <= rmax[:, None, :]), axis=-1)
+        if ball_radius is not None:
+            # exact sphere-sphere prefilter where both sides are balls
+            rr = rad_p[local_rows]
+            d2 = jnp.sum((cen_p[local_rows][:, None, :]
+                          - centers[None, :, :]) ** 2, axis=-1)
+            lim = rr[:, None] + jnp.asarray(ball_radius)[None, :] + margin
+            sphere_hit = d2 <= lim * lim
+            both_balls = jnp.isfinite(lim)
+            overlap = jnp.where(both_balls, overlap & sphere_hit, overlap)
         # each unordered pair is emitted by its HIGHER-index row: hub
         # colliders (large statics like the ground) live at low indices by
         # scene-builder convention, so their hundreds of partners emit from

@@ -100,9 +100,15 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
 
     mins, maxs = world_aabbs(state.shapes, bodies.poses,
                              margin=params.prediction_distance)
+    from wgmath_tpu.shapes.shape import BALL, ball_radii_or_nan
+
+    radii = (ball_radii_or_nan(state.shapes, bodies.poses)
+             if BALL in state.shapes.kinds else None)
     pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
                        block=config.broad_phase_block,
-                       max_per_row=config.broad_phase_max_per_row)
+                       max_per_row=config.broad_phase_max_per_row,
+                       ball_radius=radii,
+                       margin=params.prediction_distance)
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance,
                             sat_capacity=config.sat_pair_capacity,

@@ -177,3 +177,10 @@ def world_aabbs(shapes: ShapeSet, poses: Sim, *, margin: float = 0.0):
     world_he = jnp.einsum("nij,nj->ni", rmat, he) + margin
     center = poses.translation
     return center - world_he, center + world_he
+
+
+def ball_radii_or_nan(shapes: ShapeSet, poses: Sim) -> jax.Array:
+    """[N] effective ball radius (scale-adjusted), NaN for non-ball shapes —
+    feeds the broad phase's exact sphere-sphere prefilter."""
+    r = shapes.params[:, 0] * poses.scale
+    return jnp.where(shapes.tag == BALL, r, jnp.nan)
