@@ -377,34 +377,55 @@ def build_color_layout(colors: jax.Array, valid: jax.Array, *,
     return order_padded, offsets, counts
 
 
-def gs_color_major_pass(cons: ContactConstraints, vels: Velocity,
-                        layout, num_colors, *, cmax: int):
-    """PGS sweep over the color-major layout (the fast path used by solve)."""
-    dim = cons.dim
-    p_max = cons.n_impulse.shape[1]
-    order_padded, offsets, counts = layout
+_SORT_FIELDS = _VIEW_FIELDS + ("body_a", "body_b", "n_rhs_wo_bias",
+                               "t_rhs_wo_bias")
+
+
+def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
+    """Gather the solver-read constraint fields into color-major order —
+    once per relinearization, so every GS color window below is a contiguous
+    ``dynamic_slice`` instead of ~20 gathers per color per sweep."""
+    from types import SimpleNamespace
+
     c = cons.body_a.shape[0]
+    idx = jnp.minimum(order_padded, c - 1)
+    pad_invalid = order_padded >= c
+    ns = {f: getattr(cons, f)[idx] for f in _SORT_FIELDS}
+    # deactivate padding slots via num_points = 0
+    ns["num_points"] = jnp.where(pad_invalid, 0, ns["num_points"])
+    return SimpleNamespace(**ns)
+
+
+def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
+                        layout, num_colors, *, cmax: int, dim: int):
+    """PGS sweep over pre-sorted color-major constraints.
+
+    ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
+    stay sorted across sweeps and are unsorted once at the end of the solve.
+    """
+    p_max = n_imp_s.shape[1]
+    order_padded, offsets, counts = layout
     slot = jnp.arange(cmax, dtype=jnp.int32)
+    from types import SimpleNamespace
 
     def one_color(color, carry):
         lin, ang, n_imp, t_imp = carry
         start = offsets[color]
-        cids = jax.lax.dynamic_slice_in_dim(order_padded, start, cmax)
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, cmax)
         active = slot < counts[color]
-        cids_c = jnp.minimum(cids, c - 1)
-        view = _view(cons, cids_c)
-        prev_n = n_imp[cids_c]
-        prev_t = t_imp[cids_c]
-        ba = view_body(cons.body_a, cids_c)
-        bb = view_body(cons.body_b, cids_c)
+        view = SimpleNamespace(
+            **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
+        prev_n = sl(n_imp)
+        prev_t = sl(t_imp)
+        ba = sl(sorted_cons.body_a)
+        bb = sl(sorted_cons.body_b)
         v1l, v1a = lin[ba], ang[ba]
         v2l, v2a = lin[bb], ang[bb]
         i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
         new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
             view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
-        cid_sel = jnp.where(active, cids_c, c)
-        n_imp = n_imp.at[cid_sel].set(new_n, mode="drop")
-        t_imp = t_imp.at[cid_sel].set(new_t, mode="drop")
+        n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n, start, 0)
+        t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t, start, 0)
         n_bodies = lin.shape[0]
         ba_sel = jnp.where(active, ba, n_bodies)
         bb_sel = jnp.where(active, bb, n_bodies)
@@ -414,15 +435,10 @@ def gs_color_major_pass(cons: ContactConstraints, vels: Velocity,
         ang = ang.at[bb_sel].add(v2a - i2a, mode="drop")
         return lin, ang, n_imp, t_imp
 
-    lin, ang, n_imp, t_imp = jax.lax.fori_loop(
+    lin, ang, n_imp_s, t_imp_s = jax.lax.fori_loop(
         1, num_colors + 1, one_color,
-        (vels.linear, vels.angular, cons.n_impulse, cons.t_impulse))
-    return (Velocity(lin, ang),
-            dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp))
-
-
-def view_body(arr, cids):
-    return arr[cids]
+        (vels.linear, vels.angular, n_imp_s, t_imp_s))
+    return Velocity(lin, ang), n_imp_s, t_imp_s
 
 
 # ---------------------------------------------------------------------------
@@ -559,6 +575,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             remove_joint_bias,
         )
 
+    dim_ = dim
+
     def substep(_, carry):
         vels, poses, cons = carry
         vels = Velocity(vels.linear + inc, vels.angular)
@@ -568,12 +586,19 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             jcons = build_joint_constraints(joints, poses, mprops, sub)
         if not use_jacobi:
             vels = warmstart_apply(cons, vels)
+            order_padded = layout[0]
+            sorted_cons = sort_solver_fields(cons, order_padded)
+            c_cap = cons.body_a.shape[0]
+            idx_s = jnp.minimum(order_padded, c_cap - 1)
+            n_imp_s = cons.n_impulse[idx_s]
+            t_imp_s = cons.t_impulse[idx_s]
         if joints is not None:
             vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
                                         max_colors=max_colors)
         if not use_jacobi:
-            vels, cons = gs_color_major_pass(cons, vels, layout, num_colors,
-                                             cmax=cmax)
+            vels, n_imp_s, t_imp_s = gs_color_major_pass(
+                sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
+                cmax=cmax, dim=dim_)
         else:
             vels, cons = jacobi_pass(cons, vels, csr,
                                      max_per_body=max_per_body)
@@ -582,10 +607,24 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             jcons = remove_joint_bias(jcons)
             vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
                                         max_colors=max_colors)
-        cons = remove_cfm_and_bias(cons)
+        if use_jacobi:
+            cons = remove_cfm_and_bias(cons)
         if not use_jacobi:
-            vels, cons = gs_color_major_pass(cons, vels, layout, num_colors,
-                                             cmax=cmax)
+            # unbiased sweep reuses the sorted fields with rhs := rhs_wo_bias
+            import types as _types
+
+            unbiased = _types.SimpleNamespace(**vars(sorted_cons))
+            unbiased.n_rhs = sorted_cons.n_rhs_wo_bias
+            unbiased.t_rhs = sorted_cons.t_rhs_wo_bias
+            unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
+            vels, n_imp_s, t_imp_s = gs_color_major_pass(
+                unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
+                cmax=cmax, dim=dim_)
+            # unsort impulses back into constraint storage (warmstart source)
+            sel = jnp.where(order_padded < c_cap, order_padded, c_cap)
+            n_imp = cons.n_impulse.at[sel].set(n_imp_s, mode="drop")
+            t_imp = cons.t_impulse.at[sel].set(t_imp_s, mode="drop")
+            cons = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
         else:
             vels, cons = jacobi_pass(cons, vels, csr,
                                      max_per_body=max_per_body)
