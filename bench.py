@@ -141,7 +141,7 @@ def bench_geometry():
             return jax.lax.fori_loop(0, k, body, v)
         return f
 
-    t_rot = slope_time(make_rot, (qj, vj), k_small=16, k_large=128)
+    t_rot = slope_time(make_rot, (qj, vj), k_small=64, k_large=512)
 
     def make_sim(k):
         from wgmath_tpu.geometry import sim as sim_ops
@@ -236,7 +236,7 @@ def bench_rays():
             return jax.lax.fori_loop(0, k, body, origins)
         return f
 
-    t = slope_time(make, (origins, dirs0), k_small=2, k_large=12)
+    t = slope_time(make, (origins, dirs0), k_small=16, k_large=192)
     return {"raycast_100k_mrays_s": n / t / 1e6}
 
 
@@ -256,7 +256,8 @@ def bench_physics(n_bodies=10_000, settle_frames=90):
     for f in range(settle_frames):
         state, config = step_checked(state, params, config)
         if f % 15 == 0:
-            _log(f"physics settle frame {f}, pairs={int(state.pair_count)}, "
+            _log(f"physics settle frame {f}, "
+                 f"pairs={int(np.asarray(state.pair_count)[0])}, "
                  f"cap={config.pair_capacity}")
 
     def make(k):
@@ -267,9 +268,11 @@ def bench_physics(n_bodies=10_000, settle_frames=90):
         return f
 
     t = slope_time(make, (state,), k_small=2, k_large=12, reps=2)
+    counts = np.asarray(state.pair_count)
     return {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
             "physics_pair_capacity": float(config.pair_capacity),
-            "physics_pairs": float(int(state.pair_count))}
+            "physics_pairs": float(counts[0]),
+            "physics_contacts": float(counts[1])}
 
 
 def main():

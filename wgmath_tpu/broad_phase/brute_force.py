@@ -74,7 +74,8 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
                        row_offset, mins: jax.Array, maxs: jax.Array, *,
                        capacity: int, row_active=None, col_active=None,
                        block: int = 256, max_per_row: int = 32,
-                       ball_radius=None, margin: float = 0.0) -> PairList:
+                       ball_radius=None, row_ball_radius=None,
+                       margin: float = 0.0) -> PairList:
     """Pairs (i, j) with i ∈ [row_offset, row_offset+R), j global, i < j.
 
     ``row_offset`` may be a traced scalar (device index × shard size under
@@ -105,7 +106,9 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
     kk = min(max_per_row, n)
     if ball_radius is not None:
         centers = 0.5 * (mins + maxs)
-        rad_p = jnp.pad(jnp.asarray(ball_radius), (0, pad),
+        row_rad = (ball_radius if row_ball_radius is None
+                   else row_ball_radius)
+        rad_p = jnp.pad(jnp.asarray(row_rad), (0, pad),
                         constant_values=jnp.nan)
         cen_p = 0.5 * (rmins_p + rmaxs_p)
 

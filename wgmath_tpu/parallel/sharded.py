@@ -74,9 +74,17 @@ def make_sharded_step(mesh: Mesh, params: SimParams, config: PipelineConfig):
         mins, maxs = world_aabbs(shapes, bodies.poses,
                                  margin=params.prediction_distance)
         row_slice = lambda x: jax.lax.dynamic_slice_in_dim(x, row_offset, n_local)
+        from wgmath_tpu.shapes.shape import BALL, ball_radii_or_nan
+
+        radii = (ball_radii_or_nan(shapes, bodies.poses)
+                 if BALL in shapes.kinds else None)
         pairs = find_pairs_partial(
             row_slice(mins), row_slice(maxs), row_offset, mins, maxs,
-            capacity=cap_local, block=config.broad_phase_block)
+            capacity=cap_local, block=config.broad_phase_block,
+            max_per_row=config.broad_phase_max_per_row,
+            ball_radius=radii,
+            row_ball_radius=None if radii is None else row_slice(radii),
+            margin=params.prediction_distance)
         contacts_local = narrow_phase(bodies.poses, shapes, pairs,
                                       params.prediction_distance)
         # gather the full manifold list; replicated solve
