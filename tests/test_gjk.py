@@ -147,3 +147,20 @@ def test_pfm_contact_deep_capsules():
     # penetration ≈ core_depth + 2r ≥ 0.4
     assert float(dist[0]) < -0.35, float(dist[0])
     assert np.isfinite(np.asarray(normal)).all()
+
+
+def test_gjk_convex_polyhedron_support():
+    """Convex hull (a tetra) vs ball distance via vertex-range support."""
+    from wgmath_tpu.shapes.mesh import convex_polyhedron
+    from wgmath_tpu.shapes import ShapeSet
+
+    tetra = convex_polyhedron(np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32))
+    ball = ShapeSet.balls(jnp.asarray([0.25]))
+    combined = ShapeSet.concat(tetra, ball)
+    res_d = gjk_distance(
+        combined.tag[0:1], combined.params[0:1], _pose([[0.0, 0, 0]]),
+        combined.tag[1:2], combined.params[1:2], _pose([[3.0, 0, 0]]),
+        vertices=combined.vertices)
+    # closest hull point to x=3 is the vertex (1,0,0) → core distance 2
+    np.testing.assert_allclose(float(res_d.distance[0]), 2.0, rtol=1e-4)

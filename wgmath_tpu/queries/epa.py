@@ -37,7 +37,8 @@ def _face_geometry(verts, faces):
     return v0, v1, v2
 
 
-def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab):
+def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
+                    vertices=None):
     """Penetration depth + direction for intersecting pairs (A-frame).
 
     All args are batched [M]; returns ``(normal [M,3], depth [M],
@@ -55,7 +56,8 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab):
     wit_b = jnp.zeros((m, V_CAP, 3), jnp.float32)
     for i in range(6):
         d = jnp.broadcast_to(dirs[i], (m, 3))
-        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d)
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d,
+                        vertices)
         verts = verts.at[:, i].set(s.w)
         wit_a = wit_a.at[:, i].set(s.p_a)
         wit_b = wit_b.at[:, i].set(s.p_b)
@@ -95,7 +97,8 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab):
         best_n = jnp.take_along_axis(normals, best[:, None, None].repeat(3, -1), 1)[:, 0]
         best_d = jnp.take_along_axis(dists, best[:, None], -1)[:, 0]
 
-        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, best_n)
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, best_n,
+                        vertices)
         gap = jnp.sum(s.w * best_n, -1) - best_d
         newly_done = gap < 1e-4
         grow = ~done & ~newly_done & (nverts < V_CAP)

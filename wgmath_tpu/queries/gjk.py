@@ -35,9 +35,14 @@ EPS = 1e-6
 # ---------------------------------------------------------------------------
 
 
-def support_core(tag, params, d):
+def support_core(tag, params, d, vertices=None):
     """Farthest point of the shape's *core* along unit dir d [N,3], plus the
-    dilation radius (ball/capsule rounding). core ⊕ ball(radius) = shape."""
+    dilation radius (ball/capsule rounding). core ⊕ ball(radius) = shape.
+
+    ``vertices``: shared mesh vertex buffer — enables CONVEX polyhedra
+    (params = [first_vtx, num_vtx, …]) via a masked arg-max over the shape's
+    vertex range (≙ convex_polyhedron.wgsl support_point).
+    """
     p = params
     zero = jnp.zeros_like(d)
 
@@ -69,6 +74,19 @@ def support_core(tag, params, d):
     pick_apex = jnp.sum(apex * d, -1) >= jnp.sum(base * d, -1)
     cone = jnp.where(pick_apex[:, None], apex, base)
     sup = jnp.where((tag == shp.CONE)[:, None], cone, sup)
+
+    # convex polyhedron: arg-max vertex over [first_vtx, first_vtx+num_vtx)
+    if vertices is not None and vertices.shape[0] > 0:
+        first = p[:, 0].astype(jnp.int32)
+        num = p[:, 1].astype(jnp.int32)
+        v_idx = jnp.arange(vertices.shape[0], dtype=jnp.int32)
+        dots = jnp.einsum("nd,vd->nv", d, vertices)
+        in_range = ((v_idx[None, :] >= first[:, None])
+                    & (v_idx[None, :] < (first + num)[:, None]))
+        dots = jnp.where(in_range, dots, -jnp.inf)
+        best = jnp.argmax(dots, axis=-1)
+        cvx = vertices[best]
+        sup = jnp.where((tag == shp.CONVEX)[:, None], cvx, sup)
     return sup, radius
 
 
@@ -80,12 +98,13 @@ class CsoSupport(NamedTuple):
     p_b: jax.Array
 
 
-def cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d) -> CsoSupport:
+def cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d,
+                vertices=None) -> CsoSupport:
     """Support of the configuration-space obstacle A ⊖ B along d (A-frame).
     ``r_ab``/``t_ab``: B's rotation matrix / translation in A's frame."""
-    sup_a, _ = support_core(tag_a, par_a, d)
+    sup_a, _ = support_core(tag_a, par_a, d, vertices)
     d_b = jnp.einsum("nij,ni->nj", r_ab, d)  # rotate d into B's frame
-    sup_b_local, _ = support_core(tag_b, par_b, -d_b)
+    sup_b_local, _ = support_core(tag_b, par_b, -d_b, vertices)
     sup_b = t_ab + jnp.einsum("nij,nj->ni", r_ab, sup_b_local)
     return CsoSupport(sup_a - sup_b, sup_a, sup_b)
 
@@ -231,7 +250,7 @@ class GjkResult:
 
 
 def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
-                 *, max_iters: int = MAX_ITERS) -> GjkResult:
+                 *, max_iters: int = MAX_ITERS, vertices=None) -> GjkResult:
     """Batched GJK distance between shape cores, in A's local frame."""
     q_ab = quat.mul(quat.inv(pose_a.rotation), pose_b.rotation)
     r_ab = quat.to_matrix(q_ab)
@@ -244,7 +263,8 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     d0 = jnp.where(jnp.linalg.norm(t_ab, axis=-1, keepdims=True) > 1e-9,
                    -t_ab, jnp.zeros_like(t_ab).at[:, 0].set(1.0))
     d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
-    s0 = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d0)
+    s0 = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d0,
+                     vertices)
 
     pts = jnp.zeros((n, 4, 3), jnp.float32).at[:, 0].set(s0.w)
     pa = jnp.zeros((n, 4, 3), jnp.float32).at[:, 0].set(s0.p_a)
@@ -267,7 +287,8 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 
         pts_c, pa_c, pb_c, size_c = _compact_simplex(pts, pa, pb, bary)
         d = -v / jnp.maximum(vnorm, 1e-30)[:, None]
-        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d)
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d,
+                        vertices)
         # van den Bergen termination: upper−lower distance gap below tol.
         # |v| is the upper bound; −(w·d) the lower bound along d.
         gap = vnorm + jnp.sum(s.w * d, -1)
@@ -303,7 +324,7 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 
 
 def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
-                mask=None, *, epa_cap: int = 256):
+                mask=None, *, epa_cap: int = 256, vertices=None):
     """Single-point contact for support-mapped pairs via GJK + dilation, with
     EPA for core-intersecting pairs (≙ WgContactPfmPfm, contact.rs:161-178).
 
@@ -318,7 +339,8 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     from wgmath_tpu.queries.epa import epa_penetration
 
     n = pose_a.translation.shape[0]
-    res = gjk_distance(tag_a, par_a, pose_a, tag_b, par_b, pose_b)
+    res = gjk_distance(tag_a, par_a, pose_a, tag_b, par_b, pose_b,
+                       vertices=vertices)
     d0 = jnp.zeros_like(res.normal).at[:, 1].set(1.0)
     _, rad_a = support_core(tag_a, par_a, d0)
     _, rad_b = support_core(tag_b, par_b, d0)
@@ -344,7 +366,8 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
         pose_a.rotation[sel], pose_b.translation[sel] - pose_a.translation[sel])
     t_ab = t_ab / pose_a.scale[sel][..., None]
     e_n, e_depth, e_pa = epa_penetration(
-        tag_a[sel], par_a[sel], tag_b[sel], par_b[sel], r_ab, t_ab)
+        tag_a[sel], par_a[sel], tag_b[sel], par_b[sel], r_ab, t_ab,
+        vertices=vertices)
 
     # scatter EPA results back (core depth + both dilation radii)
     sel_drop = jnp.where(active, sel, n)

@@ -127,7 +127,8 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     kinds = shapes.kinds
     has_ball = shp.BALL in kinds
     has_cuboid = shp.CUBOID in kinds
-    has_pfm_only = bool(kinds - {shp.BALL, shp.CUBOID})
+    has_pfm_only = bool(kinds - {shp.BALL, shp.CUBOID, shp.TRIMESH,
+                                 shp.POLYLINE})
 
     # --- ball vs ball -------------------------------------------------------
     bb = (tag_a == shp.BALL) & (tag_b == shp.BALL)
@@ -203,13 +204,15 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         handled |= (tag_a == shp.BALL) & (tag_b == shp.CUBOID)
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
-        supported = (tag_a <= shp.CYLINDER) & (tag_b <= shp.CYLINDER)
+        supported = (((tag_a <= shp.CYLINDER) | (tag_a == shp.CONVEX))
+                     & ((tag_b <= shp.CYLINDER) | (tag_b == shp.CONVEX)))
         pfm = ~handled & supported & pairs.valid
         if pfm_capacity:
             sel, act = _compact_mask(pfm, pfm_capacity)
             n_p, p_p, d_p = pfm_contact(
                 tag_a[sel], par_a[sel], _take_sim(poses, a[sel]),
-                tag_b[sel], par_b[sel], _take_sim(poses, b[sel]), mask=act)
+                tag_b[sel], par_b[sel], _take_sim(poses, b[sel]), mask=act,
+                vertices=shapes.vertices)
             sel_drop = jnp.where(act, sel, c)
             normal_a = normal_a.at[sel_drop].set(n_p, mode="drop")
             points_a = points_a.at[sel_drop, 0].set(p_p, mode="drop")
@@ -217,7 +220,8 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
             num_points = num_points.at[sel_drop].set(1, mode="drop")
         else:
             n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b,
-                                        pose_b, mask=pfm)
+                                        pose_b, mask=pfm,
+                                        vertices=shapes.vertices)
             normal_a = jnp.where(pfm[:, None], n_p, normal_a)
             points_a = points_a.at[:, 0].set(
                 jnp.where(pfm[:, None], p_p, points_a[:, 0]))

@@ -81,3 +81,20 @@ def heightfield(heights: np.ndarray, scale_x: float = 1.0,
             tris.append([a, b, c])
             tris.append([b, d, c])
     return trimesh(verts, np.asarray(tris, np.int32))
+
+
+def convex_polyhedron(vertices: np.ndarray) -> shp.ShapeSet:
+    """One convex polyhedron collider from its (hull) vertices (3D) —
+    support-mapped, used by GJK/EPA (≙ wgparry convex_polyhedron.wgsl)."""
+    vertices = np.asarray(vertices, np.float32)
+    he = (vertices.max(0) - vertices.min(0)) / 2.0
+    center = (vertices.max(0) + vertices.min(0)) / 2.0
+    he_sym = np.abs(center) + he
+    params = np.zeros((1, shp.NUM_PARAMS), np.float32)
+    params[0, 0] = 0
+    params[0, 1] = len(vertices)
+    params[0, 4:7] = he_sym
+    return shp.ShapeSet(
+        jnp.asarray([shp.CONVEX], jnp.int32), jnp.asarray(params),
+        jnp.asarray(vertices), jnp.zeros((0, 3), jnp.int32),
+        kinds=frozenset((shp.CONVEX,)))
