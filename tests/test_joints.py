@@ -87,8 +87,11 @@ def test_revolute_swings_in_plane():
 def test_revolute_motor_reaches_target_velocity():
     params = SimParams(gravity=(0.0, 0.0, 0.0))
     bodies, shapes = _two_ball_world([1.0, 0.0, 0.0])
+    # acceleration-based motor: effective time constant scales with
+    # I_pivot/I_com (≈63 here) ÷ damping — damping 300 → τ ≈ 0.2 s
     joints = revolute_joints([0], [1], [[0.0, 0.0, 0.0]], [[-1.0, 0.0, 0.0]],
                              axes=[[0.0, 0.0, 1.0]], motor_vel=2.0,
+                             motor_damping=300.0,
                              dynamic_mask=np.asarray([False, True]))
     state = new_state(bodies, shapes, joints)
     cfg = CFG

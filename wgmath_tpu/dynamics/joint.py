@@ -211,7 +211,8 @@ def spherical_joints(body_a, body_b, anchors_a, anchors_b, *,
 
 
 def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes, *,
-                    limits=None, motor_vel=None, dynamic_mask=None) -> JointSet:
+                    limits=None, motor_vel=None, motor_damping: float = 1.0,
+                    dynamic_mask=None) -> JointSet:
     """Hinge about ``axes`` (joint-frame +x): locks everything except angular
     x (≙ RevoluteJoint). Optional rotation ``limits`` (min,max) and velocity
     motor."""
@@ -234,7 +235,9 @@ def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes, *,
         tv[:, 3] = motor_vel
         kw["motor_target_vel"] = tv
         damp = np.zeros((n, 6), np.float32)
-        damp[:, 3] = 1.0
+        # acceleration-based damping: the motor's time constant is
+        # I_pivot / (I_com · damping) — raise damping for snappy motors
+        damp[:, 3] = motor_damping
         kw["motor_damping"] = damp
     return make_joint_set(body_a, body_b, fa, fb, locked_axes=locked,
                           dynamic_mask=dynamic_mask, **kw)
