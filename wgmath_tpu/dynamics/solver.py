@@ -29,7 +29,6 @@ copies) is reproduced with a bounded ``fori_loop`` over each body's CSR row.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -28,15 +28,6 @@ ITERS = 14
 _BIG = 1.0e10
 
 
-def _face_geometry(verts, faces):
-    """Outward normals + plane distances for faces [M,F,3] of verts [M,V,3]."""
-    v0 = jnp.take_along_axis(verts, faces[..., 0:1, None].repeat(3, -1), 1)
-    v1 = jnp.take_along_axis(verts, faces[..., 1:2, None].repeat(3, -1), 1)
-    v2 = jnp.take_along_axis(verts, faces[..., 2:3, None].repeat(3, -1), 1)
-    # gather per face: reshape trick
-    return v0, v1, v2
-
-
 def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
                     vertices=None):
     """Penetration depth + direction for intersecting pairs (A-frame).
