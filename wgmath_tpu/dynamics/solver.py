@@ -401,14 +401,21 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
     stay sorted across sweeps and are unsorted once at the end of the solve.
+    Velocities travel as one packed [N, dim+adim] array so each color costs
+    two gathers + two scatter-adds (instead of four of each).
     """
     p_max = n_imp_s.shape[1]
     order_padded, offsets, counts = layout
     slot = jnp.arange(cmax, dtype=jnp.int32)
     from types import SimpleNamespace
 
+    ang2d = vels.angular.ndim == 1
+    ang_v = vels.angular[:, None] if ang2d else vels.angular
+    packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
+    adim = ang_v.shape[-1]
+
     def one_color(color, carry):
-        lin, ang, n_imp, t_imp = carry
+        packed, n_imp, t_imp = carry
         start = offsets[color]
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, cmax)
         active = slot < counts[color]
@@ -418,26 +425,36 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         prev_t = sl(t_imp)
         ba = sl(sorted_cons.body_a)
         bb = sl(sorted_cons.body_b)
-        v1l, v1a = lin[ba], ang[ba]
-        v2l, v2a = lin[bb], ang[bb]
+        p1 = packed[ba]
+        p2 = packed[bb]
+        v1l, v1a = p1[:, :dim], p1[:, dim:]
+        v2l, v2a = p2[:, :dim], p2[:, dim:]
+        if ang2d:
+            v1a = v1a[:, 0]
+            v2a = v2a[:, 0]
         i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
         new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
             view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
         n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n, start, 0)
         t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t, start, 0)
-        n_bodies = lin.shape[0]
+        n_bodies = packed.shape[0]
         ba_sel = jnp.where(active, ba, n_bodies)
         bb_sel = jnp.where(active, bb, n_bodies)
-        lin = lin.at[ba_sel].add(v1l - i1l, mode="drop")
-        lin = lin.at[bb_sel].add(v2l - i2l, mode="drop")
-        ang = ang.at[ba_sel].add(v1a - i1a, mode="drop")
-        ang = ang.at[bb_sel].add(v2a - i2a, mode="drop")
-        return lin, ang, n_imp, t_imp
+        if ang2d:
+            v1a, i1a = v1a[:, None], i1a[:, None]
+            v2a, i2a = v2a[:, None], i2a[:, None]
+        d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
+        d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
+        packed = packed.at[ba_sel].add(d1, mode="drop")
+        packed = packed.at[bb_sel].add(d2, mode="drop")
+        return packed, n_imp, t_imp
 
-    lin, ang, n_imp_s, t_imp_s = jax.lax.fori_loop(
-        1, num_colors + 1, one_color,
-        (vels.linear, vels.angular, n_imp_s, t_imp_s))
-    return Velocity(lin, ang), n_imp_s, t_imp_s
+    packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
+        1, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
+    ang_out = packed[:, dim:]
+    if ang2d:
+        ang_out = ang_out[:, 0]
+    return Velocity(packed[:, :dim], ang_out), n_imp_s, t_imp_s
 
 
 # ---------------------------------------------------------------------------
