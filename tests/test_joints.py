@@ -101,3 +101,34 @@ def test_revolute_motor_reaches_target_velocity():
     # relative angular velocity about the hinge axis approaches the target
     assert abs(w[2] - 2.0) < 0.2, w
     assert abs(w[0]) < 0.05 and abs(w[1]) < 0.05
+
+
+def test_2d_revolute_pendulum():
+    """2D pendulum: a disk revolute-jointed (the 2D hinge = locked lin x,y)
+    to a static anchor swings in-plane with pivot distance preserved."""
+    from wgmath_tpu.dynamics.joint import make_joint_set
+    from wgmath_tpu.geometry.sim import Sim
+
+    n = 2
+    shapes = ShapeSet.balls(jnp.asarray([0.2, 0.2]), dim=2)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1)),
+                               jnp.asarray([[0.0, 0.0], [1.0, 0.0]]))
+    mp = ball_local_mprops(jnp.asarray([0.2, 0.2]), dim=2,
+                           dynamic=jnp.asarray([False, True]))
+    bodies = Bodies(poses, Velocity.zero(n, 2), mp)
+    rot_id = jnp.tile(jnp.asarray([1.0, 0.0]), (1, 1))
+    fa = Sim(rot_id, jnp.asarray([[0.0, 0.0]]), jnp.ones((1,)))
+    fb = Sim(rot_id, jnp.asarray([[-1.0, 0.0]]), jnp.ones((1,)))
+    joints = make_joint_set([0], [1], fa, fb,
+                            locked_axes=np.asarray([0b011], np.int32),
+                            dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    min_y = 0.0
+    for _ in range(60):
+        state, cfg = step_checked(state, params, cfg)
+        min_y = min(min_y, float(state.bodies.poses.translation[1, 1]))
+    t = np.asarray(state.bodies.poses.translation[1])
+    assert abs(np.linalg.norm(t) - 1.0) < 0.02, t
+    assert min_y < -0.7, min_y

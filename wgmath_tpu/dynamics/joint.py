@@ -373,10 +373,10 @@ def build_joint_constraints(jset: JointSet, poses: Sim,
                             mprops: WorldMassProperties,
                             params: SimParams) -> JointConstraints:
     """Vectorized constraint (re)build — runs once per substep, matching the
-    reference's full-rebuild `update` kernel. 3D only for now (the 2D variant
-    follows the same slot scheme with S=3)."""
+    reference's full-rebuild `update` kernel. Dispatches to the 2D variant
+    (scalar angular algebra, S=3 slots) for planar worlds."""
     if jset.dim != 3:
-        raise NotImplementedError("2D joints land with the 2D pipeline pass")
+        return _build_joint_constraints_2d(jset, poses, mprops, params)
     j = jset.num_joints
     e = NUM_SLOTS_3D
     ba, bb = jset.body_a, jset.body_b
@@ -675,6 +675,14 @@ def joint_gs_pass(cons: JointConstraints, vels: Velocity, colors: jax.Array,
     """Per-color joint solve (≙ joint_constraint_builder.wgsl solve_constraint)."""
     e = cons.active.shape[1]
 
+    ang3d = cons.ang_jac_a.ndim == 3  # [J, E, 3] in 3D, [J, E] scalar in 2D
+
+    def _gd(ang_jac, w):
+        return jnp.sum(ang_jac * w, -1) if ang3d else ang_jac * w
+
+    def _scale(ang_jac, d):
+        return ang_jac * d[:, None] if ang3d else ang_jac * d
+
     def one_color(color, carry):
         lin_v, ang_v, imp = carry
         act_c = cons.valid & (colors == color)
@@ -686,8 +694,7 @@ def joint_gs_pass(cons: JointConstraints, vels: Velocity, colors: jax.Array,
         for s in range(e):
             act = act_c & cons.active[:, s]
             dlin = jnp.sum(cons.lin_jac[:, s] * (v2l - v1l), -1)
-            dang = (jnp.sum(cons.ang_jac_b[:, s] * v2a, -1)
-                    - jnp.sum(cons.ang_jac_a[:, s] * v1a, -1))
+            dang = _gd(cons.ang_jac_b[:, s], v2a) - _gd(cons.ang_jac_a[:, s], v1a)
             total_rhs = dlin + dang + cons.rhs[:, s]
             cand = jnp.clip(
                 imp[:, s] + cons.inv_lhs[:, s]
@@ -698,9 +705,9 @@ def joint_gs_pass(cons: JointConstraints, vels: Velocity, colors: jax.Array,
             imp = imp.at[:, s].set(new_imp)
             lin_imp = cons.lin_jac[:, s] * d[:, None]
             v1l = v1l + lin_imp * cons.im_a
-            v1a = v1a + cons.ii_ang_jac_a[:, s] * d[:, None]
+            v1a = v1a + _scale(cons.ii_ang_jac_a[:, s], d)
             v2l = v2l - lin_imp * cons.im_b
-            v2a = v2a - cons.ii_ang_jac_b[:, s] * d[:, None]
+            v2a = v2a - _scale(cons.ii_ang_jac_b[:, s], d)
         lin_v = lin_v.at[cons.body_a].add(v1l - i1l).at[cons.body_b].add(v2l - i2l)
         ang_v = ang_v.at[cons.body_a].add(v1a - i1a).at[cons.body_b].add(v2a - i2a)
         return lin_v, ang_v, imp
@@ -711,3 +718,220 @@ def joint_gs_pass(cons: JointConstraints, vels: Velocity, colors: jax.Array,
         1, num_colors + 1, one_color,
         (vels.linear, vels.angular, cons.impulse))
     return Velocity(lin_v, ang_v), dataclasses.replace(cons, impulse=imp)
+
+
+# ---------------------------------------------------------------------------
+# 2D joint constraints (≙ the dim2 build of joint_constraint_builder.wgsl):
+# scalar angular algebra, slots [ang motor | lin motors ×2] (group 1) and
+# [ang lock | lin locks ×2 | ang limit | lin limits ×2] (group 2) — 9 total.
+# ---------------------------------------------------------------------------
+
+NUM_SLOTS_2D = 9
+GROUP1_END_2D = 3
+
+
+def _build_joint_constraints_2d(jset: JointSet, poses: Sim,
+                                mprops: WorldMassProperties,
+                                params: SimParams) -> JointConstraints:
+    j = jset.num_joints
+    e = NUM_SLOTS_2D
+    ba, bb = jset.body_a, jset.body_b
+    pose1 = Sim(poses.rotation[ba], poses.translation[ba], poses.scale[ba])
+    pose2 = Sim(poses.rotation[bb], poses.translation[bb], poses.scale[bb])
+    frame1 = sim_ops.mul(pose1, jset.local_frame_a)
+    frame2 = sim_ops.mul(pose2, jset.local_frame_b)
+    com1, com2 = mprops.com[ba], mprops.com[bb]
+    im1, im2 = mprops.inv_mass[ba], mprops.inv_mass[bb]
+    ii1, ii2 = mprops.inv_inertia[ba], mprops.inv_inertia[bb]  # scalars [J]
+
+    r1q, r2q = frame1.rotation, frame2.rotation  # rot2 (cos, sin)
+    basis = rot2.to_matrix(r1q)  # [J, 2, 2], columns = joint axes in world
+    lin_err = frame2.translation - frame1.translation
+
+    locked = jset.locked_axes
+    t1 = frame2.translation
+    for i in range(2):
+        axis = basis[..., :, i]
+        has = (locked & (1 << i)) != 0
+        t1 = t1 - jnp.where(has[:, None],
+                            axis * jnp.sum(axis * lin_err, -1, keepdims=True),
+                            0.0)
+    r1 = t1 - com1
+    r2 = frame2.translation - com2
+
+    def perp_dot(r, m):  # perp(r)·(each column) — scalar angular jacobians
+        perp = jnp.stack([-r[..., 1], r[..., 0]], -1)
+        return jnp.stack([jnp.sum(perp * m[..., :, i], -1) for i in range(2)],
+                         -1)  # [J, 2]
+
+    cmat1_basis = perp_dot(r1, basis)
+    cmat2_basis = perp_dot(r2, basis)
+
+    ang_err = rot2.mul(rot2.inv(r1q), r2q)  # (cos, sin)
+    ang_err_angle = rot2.angle(ang_err)
+    ang_err_sin = ang_err[..., 1]
+
+    erp_inv_dt = params.joint_erp_inv_dt
+    cfm_coeff_j = params.joint_cfm_coeff
+    inv_dt = params.inv_dt
+    zeros = jnp.zeros((j,), jnp.float32)
+    zeros2 = jnp.zeros((j, 2), jnp.float32)
+
+    active = jnp.zeros((j, e), bool)
+    lin_jac = jnp.zeros((j, e, 2), jnp.float32)
+    ang_a = jnp.zeros((j, e), jnp.float32)
+    ang_b = jnp.zeros((j, e), jnp.float32)
+    rhs = jnp.zeros((j, e), jnp.float32)
+    rhs_wo = jnp.zeros((j, e), jnp.float32)
+    cfm_c = jnp.zeros((j, e), jnp.float32)
+    cfm_g = jnp.zeros((j, e), jnp.float32)
+    bmin = jnp.full((j, e), -MAX, jnp.float32)
+    bmax = jnp.full((j, e), MAX, jnp.float32)
+
+    motor_mask = jset.motor_axes & ~locked
+    limit_mask = jset.limit_axes & ~locked
+
+    def put(slot, act, lj, aa, ab, r_, rw, cc, cg, lo, hi):
+        nonlocal active, lin_jac, ang_a, ang_b, rhs, rhs_wo, cfm_c, cfm_g
+        nonlocal bmin, bmax
+        active = active.at[:, slot].set(act)
+        lin_jac = lin_jac.at[:, slot].set(jnp.where(act[:, None], lj, 0.0))
+        ang_a = ang_a.at[:, slot].set(jnp.where(act, aa, 0.0))
+        ang_b = ang_b.at[:, slot].set(jnp.where(act, ab, 0.0))
+        rhs = rhs.at[:, slot].set(jnp.where(act, r_, 0.0))
+        rhs_wo = rhs_wo.at[:, slot].set(jnp.where(act, rw, 0.0))
+        cfm_c = cfm_c.at[:, slot].set(jnp.where(act, cc, 0.0))
+        cfm_g = cfm_g.at[:, slot].set(jnp.where(act, cg, 0.0))
+        bmin = bmin.at[:, slot].set(jnp.where(act, lo, -MAX))
+        bmax = bmax.at[:, slot].set(jnp.where(act, hi, MAX))
+
+    # group 1: angular motor (axis bit 2) → slot 0
+    bit = 1 << 2
+    act = (motor_mask & bit) != 0
+    mp = _motor_params(jset, 2, params.dt)
+    r_wo = (_smallest_angle_diff(ang_err_angle, mp["target_pos"])
+            * mp["erp_inv_dt"]) - mp["target_vel"]
+    put(0, act, zeros2, jnp.ones((j,)), jnp.ones((j,)), r_wo, r_wo,
+        mp["cfm_coeff"], mp["cfm_gain"], -mp["max_impulse"], mp["max_impulse"])
+
+    # linear motors (axes 0, 1) → slots 1, 2
+    for i in range(2):
+        bit = 1 << i
+        act = (motor_mask & bit) != 0
+        mp = _motor_params(jset, i, params.dt)
+        lj = basis[..., :, i]
+        dist = jnp.sum(lin_err * lj, -1)
+        has_lim = (limit_mask & bit) != 0
+        lo_l = jnp.where(has_lim, jset.limit_min[:, i], -MAX)
+        hi_l = jnp.where(has_lim, jset.limit_max[:, i], MAX)
+        target_vel = jnp.where(
+            has_lim,
+            jnp.clip(mp["target_vel"], (lo_l - dist) * inv_dt,
+                     (hi_l - dist) * inv_dt),
+            mp["target_vel"])
+        r_wo = (dist - mp["target_pos"]) * mp["erp_inv_dt"] - target_vel
+        put(1 + i, act, lj, cmat1_basis[:, i], cmat2_basis[:, i], r_wo, r_wo,
+            mp["cfm_coeff"], mp["cfm_gain"], -mp["max_impulse"],
+            mp["max_impulse"])
+
+    # group 2: angular lock → slot 3
+    act = (locked & (1 << 2)) != 0
+    r_bias = ang_err_sin * erp_inv_dt
+    put(3, act, zeros2, jnp.ones((j,)), jnp.ones((j,)), r_bias, zeros,
+        jnp.full((j,), cfm_coeff_j), zeros, -MAX, MAX)
+
+    # linear locks → slots 4, 5
+    for i in range(2):
+        act = (locked & (1 << i)) != 0
+        lj = basis[..., :, i]
+        r_bias = jnp.sum(lj * lin_err, -1) * erp_inv_dt
+        put(4 + i, act, lj, cmat1_basis[:, i], cmat2_basis[:, i], r_bias,
+            zeros, jnp.full((j,), cfm_coeff_j), zeros, -MAX, MAX)
+
+    # angular limit → slot 6
+    act = (limit_mask & (1 << 2)) != 0
+    s_min = jnp.sin(jset.limit_min[:, 2] * 0.5)
+    s_max = jnp.sin(jset.limit_max[:, 2] * 0.5)
+    s_ang = jnp.sin(ang_err_angle * 0.5)
+    min_en = s_ang <= s_min
+    max_en = s_max <= s_ang
+    r_bias = (jnp.maximum(s_ang - s_max, 0.0)
+              - jnp.maximum(s_min - s_ang, 0.0)) * erp_inv_dt
+    put(6, act, zeros2, jnp.ones((j,)), jnp.ones((j,)), r_bias, zeros,
+        jnp.full((j,), cfm_coeff_j), zeros,
+        jnp.where(min_en, -MAX, 0.0), jnp.where(max_en, MAX, 0.0))
+
+    # linear limits → slots 7, 8
+    for i in range(2):
+        act = ((limit_mask & (1 << i)) != 0)
+        lj = basis[..., :, i]
+        dist = jnp.sum(lin_err * lj, -1)
+        lo_l = jset.limit_min[:, i]
+        hi_l = jset.limit_max[:, i]
+        min_en = dist <= lo_l
+        max_en = hi_l <= dist
+        r_bias = (jnp.maximum(dist - hi_l, 0.0)
+                  - jnp.maximum(lo_l - dist, 0.0)) * erp_inv_dt
+        put(7 + i, act, lj, cmat1_basis[:, i], cmat2_basis[:, i], r_bias,
+            zeros, jnp.full((j,), cfm_coeff_j), zeros,
+            jnp.where(min_en, -MAX, 0.0), jnp.where(max_en, MAX, 0.0))
+
+    cons = JointConstraints(
+        body_a=ba, body_b=bb, im_a=im1, im_b=im2,
+        active=active & jset.valid[:, None],
+        lin_jac=lin_jac, ang_jac_a=ang_a, ang_jac_b=ang_b,
+        ii_ang_jac_a=ii1[:, None] * ang_a,
+        ii_ang_jac_b=ii2[:, None] * ang_b,
+        inv_lhs=jnp.zeros((j, e), jnp.float32),
+        rhs=rhs, rhs_wo_bias=rhs_wo, cfm_gain=cfm_g, cfm_coeff=cfm_c,
+        bounds_min=bmin, bounds_max=bmax,
+        impulse=jnp.zeros((j, e), jnp.float32),
+        valid=jset.valid,
+    )
+    return _orthogonalize_2d(cons)
+
+
+def _orthogonalize_2d(cons: JointConstraints) -> JointConstraints:
+    """Masked Gram-Schmidt for the 2D slot groups (scalar angular terms)."""
+    e = cons.active.shape[1]
+    imsum = cons.im_a + cons.im_b
+    lin = cons.lin_jac
+    aa = cons.ang_jac_a
+    ab = cons.ang_jac_b
+    iia = cons.ii_ang_jac_a
+    iib = cons.ii_ang_jac_b
+    rhs = cons.rhs
+    rhs_wo = cons.rhs_wo_bias
+    cfm_gain = cons.cfm_gain
+    inv_lhs = cons.inv_lhs
+
+    for g0, g1 in ((0, GROUP1_END_2D), (GROUP1_END_2D, e)):
+        for jj in range(g0, g1):
+            act_j = cons.active[:, jj]
+            dot_jj = (jnp.sum(lin[:, jj] * (imsum * lin[:, jj]), -1)
+                      + iia[:, jj] * aa[:, jj] + iib[:, jj] * ab[:, jj])
+            new_gain = dot_jj * cons.cfm_coeff[:, jj] + cfm_gain[:, jj]
+            inv_dot_jj = _pseudo_inv(dot_jj)
+            inv_lhs = inv_lhs.at[:, jj].set(
+                jnp.where(act_j, _pseudo_inv(dot_jj + new_gain), 0.0))
+            cfm_gain = cfm_gain.at[:, jj].set(jnp.where(act_j, new_gain, 0.0))
+            unbounded = (cons.bounds_min[:, jj] <= -MAX) & \
+                        (cons.bounds_max[:, jj] >= MAX)
+            elim = act_j & unbounded
+            for ii_s in range(jj + 1, g1):
+                act_i = cons.active[:, ii_s]
+                dot_ij = (jnp.sum(lin[:, ii_s] * (imsum * lin[:, jj]), -1)
+                          + iia[:, ii_s] * aa[:, jj] + iib[:, ii_s] * ab[:, jj])
+                coeff = jnp.where(elim & act_i, dot_ij * inv_dot_jj, 0.0)
+                lin = lin.at[:, ii_s].add(-lin[:, jj] * coeff[:, None])
+                aa = aa.at[:, ii_s].add(-aa[:, jj] * coeff)
+                ab = ab.at[:, ii_s].add(-ab[:, jj] * coeff)
+                iia = iia.at[:, ii_s].add(-iia[:, jj] * coeff)
+                iib = iib.at[:, ii_s].add(-iib[:, jj] * coeff)
+                rhs = rhs.at[:, ii_s].add(-rhs[:, jj] * coeff)
+                rhs_wo = rhs_wo.at[:, ii_s].add(-rhs_wo[:, jj] * coeff)
+
+    return dataclasses.replace(cons, lin_jac=lin, ang_jac_a=aa, ang_jac_b=ab,
+                               ii_ang_jac_a=iia, ii_ang_jac_b=iib, rhs=rhs,
+                               rhs_wo_bias=rhs_wo, cfm_gain=cfm_gain,
+                               inv_lhs=inv_lhs)
