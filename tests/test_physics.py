@@ -317,3 +317,32 @@ def test_multi_step_matches_stepwise():
     np.testing.assert_allclose(np.asarray(a.bodies.poses.translation),
                                np.asarray(b.bodies.poses.translation),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_trimesh_box_rests():
+    """A cuboid resting on a flat trimesh heightfield (convex-vs-mesh GJK
+    path with triangle collision margin)."""
+    from wgmath_tpu.shapes.mesh import heightfield
+
+    params = SimParams()
+    hf = np.zeros((7, 7), np.float32)
+    mesh = heightfield(hf, 1.0, 1.0)
+    shapes = ShapeSet.concat(mesh, ShapeSet.cuboids(jnp.asarray([[0.4, 0.4, 0.4]])))
+    trans = jnp.asarray([[0.0, 0.0, 0.0], [0.2, 1.2, -0.1]], jnp.float32)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (2, 1)),
+                               trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[3.5, 0.1, 3.5]]),
+                            dynamic=jnp.asarray([False])),
+        cuboid_local_mprops(jnp.asarray([[0.4, 0.4, 0.4]])),
+    )
+    bodies = Bodies(poses, Velocity.zero(2, 3), mp)
+    state = new_state(bodies, shapes)
+    cfg = dataclasses.replace(CFG, mesh_pair_capacity=16, mesh_k_best=4)
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    y = float(state.bodies.poses.translation[1, 1])
+    # rest height = half extent + collision margin (0.02)
+    assert abs(y - 0.42) < 0.05, y
+    v = np.asarray(state.bodies.vels.linear[1])
+    assert np.max(np.abs(v)) < 0.1, v

@@ -119,10 +119,17 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             mesh_ball_contacts,
         )
 
+        from wgmath_tpu.queries.mesh_contact import mesh_convex_contacts
+
         mesh_contacts = mesh_ball_contacts(
             bodies.poses, state.shapes, pairs, params.prediction_distance,
             pair_cap=config.mesh_pair_capacity, k_best=config.mesh_k_best)
         contacts = concat_contacts(contacts, mesh_contacts)
+        cvx_contacts = mesh_convex_contacts(
+            bodies.poses, state.shapes, pairs, params.prediction_distance,
+            pair_cap=config.mesh_pair_capacity // 2,
+            k_best=config.mesh_k_best)
+        contacts = concat_contacts(contacts, cvx_contacts)
     if config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 

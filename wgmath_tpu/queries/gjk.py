@@ -35,7 +35,8 @@ EPS = 1e-6
 # ---------------------------------------------------------------------------
 
 
-def support_core(tag, params, d, vertices=None):
+def support_core(tag, params, d, vertices=None, tri_verts=None,
+                 tri_margin=0.0):
     """Farthest point of the shape's *core* along unit dir d [N,3], plus the
     dilation radius (ball/capsule rounding). core ⊕ ball(radius) = shape.
 
@@ -75,6 +76,15 @@ def support_core(tag, params, d, vertices=None):
     cone = jnp.where(pick_apex[:, None], apex, base)
     sup = jnp.where((tag == shp.CONE)[:, None], cone, sup)
 
+    # triangle: arg-max over an explicit per-pair vertex triple [N, 3, 3]
+    if tri_verts is not None:
+        dots = jnp.einsum("nd,nkd->nk", d, tri_verts)
+        best = jnp.argmax(dots, axis=-1)
+        tri = jnp.take_along_axis(tri_verts, best[:, None, None].repeat(3, -1),
+                                  1)[:, 0]
+        sup = jnp.where((tag == shp.TRIANGLE)[:, None], tri, sup)
+        radius = jnp.where(tag == shp.TRIANGLE, tri_margin, radius)
+
     # convex polyhedron: arg-max vertex over [first_vtx, first_vtx+num_vtx)
     if vertices is not None and vertices.shape[0] > 0:
         first = p[:, 0].astype(jnp.int32)
@@ -99,10 +109,12 @@ class CsoSupport(NamedTuple):
 
 
 def cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d,
-                vertices=None) -> CsoSupport:
+                vertices=None, tri_verts_a=None,
+                tri_margin=0.0) -> CsoSupport:
     """Support of the configuration-space obstacle A ⊖ B along d (A-frame).
-    ``r_ab``/``t_ab``: B's rotation matrix / translation in A's frame."""
-    sup_a, _ = support_core(tag_a, par_a, d, vertices)
+    ``r_ab``/``t_ab``: B's rotation matrix / translation in A's frame.
+    ``tri_verts_a``: per-pair triangle vertices when A is a TRIANGLE."""
+    sup_a, _ = support_core(tag_a, par_a, d, vertices, tri_verts_a, tri_margin)
     d_b = jnp.einsum("nij,ni->nj", r_ab, d)  # rotate d into B's frame
     sup_b_local, _ = support_core(tag_b, par_b, -d_b, vertices)
     sup_b = t_ab + jnp.einsum("nij,nj->ni", r_ab, sup_b_local)
@@ -202,11 +214,16 @@ def _simplex_closest(pts, size):
     f_acd, d_acd = face_bary(a, c, d, (0, 2, 3))
     f_bcd, d_bcd = face_bary(b, c, d, (1, 2, 3))
 
-    # signed-volume side tests: origin inside iff on the same side of every
-    # face as the opposite vertex
+    # signed-volume side tests: origin inside iff STRICTLY on the same side of
+    # every face as the opposite vertex. Normalized + strict: degenerate
+    # faces (duplicate simplex points → n ≈ 0) must NOT certify containment,
+    # or near-touching configurations get falsely flagged intersecting.
     def same_side(p0, p1, p2, opp):
         n = jnp.cross(p1 - p0, p2 - p0)
-        return (jnp.sum(n * (-p0), -1)) * (jnp.sum(n * (opp - p0), -1)) >= 0.0
+        nn = jnp.linalg.norm(n, axis=-1) + 1e-30
+        d_origin = jnp.sum(n * (-p0), -1) / nn
+        d_opp = jnp.sum(n * (opp - p0), -1) / nn
+        return d_origin * jnp.sign(d_opp) > 1e-7
 
     inside = (same_side(a, b, c, d) & same_side(a, b, d, c)
               & same_side(a, c, d, b) & same_side(b, c, d, a))
@@ -250,7 +267,8 @@ class GjkResult:
 
 
 def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
-                 *, max_iters: int = MAX_ITERS, vertices=None) -> GjkResult:
+                 *, max_iters: int = MAX_ITERS, vertices=None,
+                 tri_verts_a=None) -> GjkResult:
     """Batched GJK distance between shape cores, in A's local frame."""
     q_ab = quat.mul(quat.inv(pose_a.rotation), pose_b.rotation)
     r_ab = quat.to_matrix(q_ab)
@@ -264,7 +282,7 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
                    -t_ab, jnp.zeros_like(t_ab).at[:, 0].set(1.0))
     d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
     s0 = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d0,
-                     vertices)
+                     vertices, tri_verts_a)
 
     pts = jnp.zeros((n, 4, 3), jnp.float32).at[:, 0].set(s0.w)
     pa = jnp.zeros((n, 4, 3), jnp.float32).at[:, 0].set(s0.p_a)
@@ -288,7 +306,7 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
         pts_c, pa_c, pb_c, size_c = _compact_simplex(pts, pa, pb, bary)
         d = -v / jnp.maximum(vnorm, 1e-30)[:, None]
         s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d,
-                        vertices)
+                        vertices, tri_verts_a)
         # van den Bergen termination: upper−lower distance gap below tol.
         # |v| is the upper bound; −(w·d) the lower bound along d.
         gap = vnorm + jnp.sum(s.w * d, -1)
@@ -324,7 +342,9 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 
 
 def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
-                mask=None, *, epa_cap: int = 256, vertices=None):
+                mask=None, *, epa_cap: int = 256, vertices=None,
+                tri_verts_a=None, tri_margin: float = 0.0,
+                use_epa: bool = True):
     """Single-point contact for support-mapped pairs via GJK + dilation, with
     EPA for core-intersecting pairs (≙ WgContactPfmPfm, contact.rs:161-178).
 
@@ -340,9 +360,10 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 
     n = pose_a.translation.shape[0]
     res = gjk_distance(tag_a, par_a, pose_a, tag_b, par_b, pose_b,
-                       vertices=vertices)
+                       vertices=vertices, tri_verts_a=tri_verts_a)
     d0 = jnp.zeros_like(res.normal).at[:, 1].set(1.0)
-    _, rad_a = support_core(tag_a, par_a, d0)
+    _, rad_a = support_core(tag_a, par_a, d0, tri_verts=tri_verts_a,
+                            tri_margin=tri_margin)
     _, rad_b = support_core(tag_b, par_b, d0)
     dist = res.distance - rad_a - rad_b
     normal = res.normal
@@ -351,6 +372,16 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     inter = res.intersecting
     if mask is not None:
         inter = inter & mask
+    if not use_epa:
+        # deep-core fallback without EPA (triangle pairs rely on the margin
+        # shell): push along the center axis
+        t_c = quat.inv_mul_vec(pose_a.rotation,
+                               pose_b.translation - pose_a.translation)
+        t_n = jnp.linalg.norm(t_c, axis=-1, keepdims=True)
+        axis = jnp.where(t_n > 1e-9, t_c / jnp.maximum(t_n, 1e-30),
+                         jnp.zeros_like(t_c).at[:, 1].set(1.0))
+        normal = jnp.where(inter[:, None], axis, normal)
+        return normal, pt_a, dist
     # --- compact intersecting pairs and run EPA -------------------------------
     flags = inter
     pos = jnp.cumsum(flags.astype(jnp.int32)) - 1

@@ -129,3 +129,105 @@ def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
         jnp.concatenate([a.num_points, b.num_points]),
         jnp.concatenate([a.valid, b.valid]),
     )
+
+
+def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
+                         prediction: float, *, pair_cap: int = 256,
+                         k_best: int = 4,
+                         tri_margin: float = 0.02) -> Contacts:
+    """Contacts for (mesh, support-mapped convex) pairs via per-triangle GJK
+    (≙ trimesh_convex: per-triangle contact emission). Candidate triangles
+    are the K nearest by centroid; each runs triangle-vs-convex GJK with the
+    triangle dilated by ``tri_margin`` (the standard collision-margin trick —
+    penetration beyond the margin falls back to a center-axis push).
+
+    The convex body is body A in the emitted manifolds.
+    """
+    from wgmath_tpu.queries.gjk import pfm_contact
+
+    dim = poses.translation.shape[-1]
+    p_max = max_points(dim)
+    tag_a = shapes.tag[pairs.body_a]
+    tag_b = shapes.tag[pairs.body_b]
+
+    def is_cvx(t):
+        return ((t == shp.CUBOID) | (t == shp.CAPSULE) | (t == shp.CONE)
+                | (t == shp.CYLINDER) | (t == shp.CONVEX))
+
+    m_a = (tag_a == shp.TRIMESH) & is_cvx(tag_b)
+    m_b = (tag_b == shp.TRIMESH) & is_cvx(tag_a)
+    flags = (m_a | m_b) & pairs.valid
+
+    n_pairs = pairs.capacity
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    slot = jnp.where(flags & (pos < pair_cap), pos, pair_cap)
+    sel = jnp.zeros((pair_cap,), jnp.int32).at[slot].set(
+        jnp.arange(n_pairs, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(flags.astype(jnp.int32)), pair_cap)
+    active = jnp.arange(pair_cap) < count
+
+    pa = pairs.body_a[sel]
+    pb = pairs.body_b[sel]
+    mesh_is_a = shapes.tag[pa] == shp.TRIMESH
+    mesh_body = jnp.where(mesh_is_a, pa, pb)
+    cvx_body = jnp.where(mesh_is_a, pb, pa)
+    mesh_pose = _take_sim(poses, mesh_body)
+    cvx_pose = _take_sim(poses, cvx_body)
+    first_idx = shapes.params[mesh_body, 2].astype(jnp.int32)
+    num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
+
+    # candidate triangles: K nearest centroids to the convex center (in mesh
+    # local space)
+    c_local = sim_ops.inv_mul_pt(mesh_pose, cvx_pose.translation)
+    tris = shapes.indices
+    t_max = max(tris.shape[0], 1)
+    centroids = (shapes.vertices[tris[:, 0]] + shapes.vertices[tris[:, 1]]
+                 + shapes.vertices[tris[:, 2]]) / 3.0
+    tri_idx = jnp.arange(t_max, dtype=jnp.int32)
+    in_range = ((tri_idx[None, :] >= first_idx[:, None])
+                & (tri_idx[None, :] < (first_idx + num_idx)[:, None]))
+    d2 = jnp.sum((c_local[:, None, :] - centroids[None]) ** 2, axis=-1)
+    d2 = jnp.where(in_range & active[:, None], d2, 1e18)
+    neg, best = jax.lax.top_k(-d2, k_best)  # K nearest
+    cand_ok = (-neg) < 1e17
+
+    # flatten (pair, k) pseudo-pairs: A = triangle (mesh frame), B = convex
+    mk = pair_cap * k_best
+    bidx = best.reshape(mk)
+    tri_v = shapes.vertices[tris[bidx]]  # [MK, 3, dim]
+    rep = lambda x: jnp.repeat(x, k_best, axis=0)
+    pose_tri = Sim(rep(mesh_pose.rotation), rep(mesh_pose.translation),
+                   rep(mesh_pose.scale))
+    pose_cvx = Sim(rep(cvx_pose.rotation), rep(cvx_pose.translation),
+                   rep(cvx_pose.scale))
+    tag_tri = jnp.full((mk,), shp.TRIANGLE, jnp.int32)
+    tag_cvx = shapes.tag[rep(cvx_body)]
+    par_cvx = shapes.params[rep(cvx_body)]
+    par_tri = jnp.zeros((mk, shp.NUM_PARAMS), jnp.float32)
+    act_mk = (active[:, None] & cand_ok).reshape(mk)
+
+    n_tri, pt_tri, dist = pfm_contact(
+        tag_tri, par_tri, pose_tri, tag_cvx, par_cvx, pose_cvx,
+        mask=act_mk, vertices=shapes.vertices, tri_verts_a=tri_v,
+        tri_margin=tri_margin, use_epa=False)
+    # dist is relative to the dilated surface: the solver rests bodies a
+    # margin above the true triangles, keeping cores from ever intersecting
+
+    # contacts with the CONVEX as body A: flip the normal/point side
+    # normal A→B where A=convex: = -(triangle normal in mesh frame → world →
+    # convex frame)
+    n_world = sim_ops.mul_unit_vec(pose_tri, n_tri)
+    n_a = sim_ops.inv_mul_unit_vec(pose_cvx, -n_world)
+    # point on the convex's surface ≈ triangle point + normal·dist (shifted
+    # onto A's surface, matching the builder's midpoint convention)
+    pt_world = sim_ops.mul_pt(pose_tri, pt_tri)
+    pt_a_world = pt_world + n_world * dist[:, None]
+    pt_a = sim_ops.inv_mul_pt(pose_cvx, pt_a_world)
+
+    valid = act_mk & (dist < prediction + tri_margin * 0.5)
+    body_a = rep(cvx_body)
+    body_b = rep(mesh_body)
+    points = jnp.zeros((mk, p_max, dim), jnp.float32).at[:, 0].set(pt_a)
+    dists = jnp.full((mk, p_max), 1e9, jnp.float32).at[:, 0].set(dist)
+    num_points = jnp.where(valid, 1, 0).astype(jnp.int32)
+    return Contacts(body_a, body_b, n_a, points, dists, num_points, valid)

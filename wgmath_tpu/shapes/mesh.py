@@ -19,14 +19,18 @@ import jax.numpy as jnp
 from wgmath_tpu.shapes import shape as shp
 
 
+TRI_MARGIN = 0.02  # collision-margin shell around mesh triangles
+
+
 def trimesh(vertices: np.ndarray, indices: np.ndarray) -> shp.ShapeSet:
-    """One triangle-mesh collider (3D)."""
+    """One triangle-mesh collider (3D). The broad-phase bound includes the
+    triangle collision margin so contacts engage at the margin standoff."""
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     he = (vertices.max(0) - vertices.min(0)) / 2.0
     center = (vertices.max(0) + vertices.min(0)) / 2.0
     # conservative symmetric local bound (shape AABB helper reads params[4:7])
-    he_sym = np.abs(center) + he
+    he_sym = np.abs(center) + he + 2.0 * TRI_MARGIN
     params = np.zeros((1, shp.NUM_PARAMS), np.float32)
     params[0, 0] = 0  # first_vtx
     params[0, 1] = len(vertices)
