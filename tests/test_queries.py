@@ -219,3 +219,25 @@ def test_sat_rotated_edge_contact():
     assert int(num[0]) >= 1
     assert float(n[0, 1]) > 0.9
     assert float(jnp.min(dist[0, : int(num[0])])) < -0.02
+
+
+def test_ray_trimesh_heightfield():
+    from wgmath_tpu.shapes.mesh import heightfield
+
+    mesh = heightfield(np.zeros((5, 5), np.float32), 1.0, 1.0)
+    n = 16
+    xs = np.linspace(-1.5, 1.5, n).astype(np.float32)
+    o = np.stack([xs, np.full(n, 3.0, np.float32), xs * 0.5], -1)
+    d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    poses = _identity_pose(1)
+    # broadcast the single mesh collider across all rays
+    shapes_b = ShapeSet(
+        jnp.repeat(mesh.tag, n), jnp.repeat(mesh.params, n, axis=0),
+        mesh.vertices, mesh.indices, kinds=mesh.kinds)
+    poses_b = _identity_pose(n)
+    t = np.asarray(ray_q.cast(shapes_b, poses_b, jnp.asarray(o), jnp.asarray(d)))
+    np.testing.assert_allclose(t, 3.0, rtol=1e-4)  # flat field at y=0
+    # miss: rays outside the grid
+    o2 = o + np.asarray([10.0, 0.0, 0.0], np.float32)
+    t2 = np.asarray(ray_q.cast(shapes_b, poses_b, jnp.asarray(o2), jnp.asarray(d)))
+    assert np.all(np.isinf(t2))

@@ -155,6 +155,26 @@ def ray_triangle(origin, direction, va, vb, vc):
     return jnp.where(hit, t, INF)
 
 
+def ray_trimesh(origin, direction, shapes: shp.ShapeSet, first_idx, num_idx):
+    """Min-t over a mesh's triangle range (dense [rays × T] sweep, the same
+    TPU-native trade as the mesh narrow phase; the device LBVH is the
+    escape hatch for huge meshes)."""
+    tris = shapes.indices
+    t_max = max(tris.shape[0], 1)
+    if tris.shape[0] == 0:
+        return jnp.full(origin.shape[:-1], INF)
+    va = shapes.vertices[tris[:, 0]]
+    vb = shapes.vertices[tris[:, 1]]
+    vc = shapes.vertices[tris[:, 2]]
+    t = ray_triangle(origin[:, None, :], direction[:, None, :],
+                     va[None], vb[None], vc[None])  # [N, T]
+    tri_ids = jnp.arange(t_max, dtype=jnp.int32)
+    in_range = ((tri_ids[None, :] >= first_idx[:, None])
+                & (tri_ids[None, :] < (first_idx + num_idx)[:, None]))
+    t = jnp.where(in_range, t, INF)
+    return jnp.min(t, axis=-1)
+
+
 def cast(shapes: shp.ShapeSet, poses: Sim, origins: jax.Array,
          dirs: jax.Array, max_toi: float = jnp.inf) -> jax.Array:
     """Batched world-space ray vs shape i: ray i against collider i.
@@ -177,6 +197,11 @@ def cast(shapes: shp.ShapeSet, poses: Sim, origins: jax.Array,
                       ray_cylinder(o_loc, d_loc, p[:, 0], p[:, 1]), t)
         t = jnp.where(tag == shp.CONE,
                       ray_cone(o_loc, d_loc, p[:, 0], p[:, 1]), t)
+        if shp.TRIMESH in shapes.kinds:
+            t_mesh = ray_trimesh(o_loc, d_loc, shapes,
+                                 p[:, 2].astype(jnp.int32),
+                                 p[:, 3].astype(jnp.int32))
+            t = jnp.where(tag == shp.TRIMESH, t_mesh, t)
     # local t is world t because inv_mul_unit_vec preserves direction scale
     # only up to 1/pose.scale; rescale:
     t = t * poses.scale
@@ -195,6 +220,7 @@ register_module(
             "ray_cone": ray_cone,
             "ray_triangle": ray_triangle,
             "ray_cast": cast,
+            "ray_trimesh": ray_trimesh,
         },
         entries={
             "cast_balls": EntryPoint(
