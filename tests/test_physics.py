@@ -346,3 +346,29 @@ def test_trimesh_box_rests():
     assert abs(y - 0.42) < 0.05, y
     v = np.asarray(state.bodies.vels.linear[1])
     assert np.max(np.abs(v)) < 0.1, v
+
+
+def test_polyline_ball_rests_2d():
+    """2D ball resting inside a polyline bowl (polyline_convex parity)."""
+    from wgmath_tpu.shapes.mesh import polyline
+
+    params = SimParams()
+    # V-shaped polyline: ball settles in the crease at the origin
+    pl = polyline(np.asarray([[-2.0, 2.0], [0.0, 0.0], [2.0, 2.0]], np.float32))
+    shapes = ShapeSet.concat(pl, ShapeSet.balls(jnp.asarray([0.3]), dim=2))
+    trans = jnp.asarray([[0.0, 0.0], [0.1, 1.5]], jnp.float32)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (2, 1)), trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[2.0, 1.0]]),
+                            dynamic=jnp.asarray([False])),
+        ball_local_mprops(jnp.asarray([0.3]), dim=2),
+    )
+    bodies = Bodies(poses, Velocity.zero(2, 2), mp)
+    state = new_state(bodies, shapes)
+    cfg = dataclasses.replace(CFG, mesh_pair_capacity=16)
+    for _ in range(150):
+        state, cfg = step_checked(state, params, cfg)
+    p = np.asarray(state.bodies.poses.translation[1])
+    # resting in the V crease: x ≈ 0, y ≈ r·√2 (distance r from both walls)
+    assert abs(p[0]) < 0.05, p
+    assert abs(p[1] - 0.3 * np.sqrt(2)) < 0.06, p

@@ -121,15 +121,32 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
 
         from wgmath_tpu.queries.mesh_contact import mesh_convex_contacts
 
-        mesh_contacts = mesh_ball_contacts(
-            bodies.poses, state.shapes, pairs, params.prediction_distance,
-            pair_cap=config.mesh_pair_capacity, k_best=config.mesh_k_best)
-        contacts = concat_contacts(contacts, mesh_contacts)
-        cvx_contacts = mesh_convex_contacts(
-            bodies.poses, state.shapes, pairs, params.prediction_distance,
-            pair_cap=config.mesh_pair_capacity // 2,
-            k_best=config.mesh_k_best)
-        contacts = concat_contacts(contacts, cvx_contacts)
+        from wgmath_tpu.shapes.shape import TRIMESH as _TM
+
+        if _TM in state.shapes.kinds:
+            mesh_contacts = mesh_ball_contacts(
+                bodies.poses, state.shapes, pairs,
+                params.prediction_distance,
+                pair_cap=config.mesh_pair_capacity,
+                k_best=config.mesh_k_best)
+            contacts = concat_contacts(contacts, mesh_contacts)
+        from wgmath_tpu.shapes.shape import POLYLINE, TRIMESH
+
+        if TRIMESH in state.shapes.kinds:
+            cvx_contacts = mesh_convex_contacts(
+                bodies.poses, state.shapes, pairs,
+                params.prediction_distance,
+                pair_cap=config.mesh_pair_capacity // 2,
+                k_best=config.mesh_k_best)
+            contacts = concat_contacts(contacts, cvx_contacts)
+        if POLYLINE in state.shapes.kinds:
+            from wgmath_tpu.queries.mesh_contact import polyline_ball_contacts
+
+            pl_contacts = polyline_ball_contacts(
+                bodies.poses, state.shapes, pairs,
+                params.prediction_distance,
+                pair_cap=config.mesh_pair_capacity // 2, k_best=2)
+            contacts = concat_contacts(contacts, pl_contacts)
     if config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 

@@ -231,3 +231,82 @@ def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     dists = jnp.full((mk, p_max), 1e9, jnp.float32).at[:, 0].set(dist)
     num_points = jnp.where(valid, 1, 0).astype(jnp.int32)
     return Contacts(body_a, body_b, n_a, points, dists, num_points, valid)
+
+
+def polyline_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
+                           prediction: float, *, pair_cap: int = 256,
+                           k_best: int = 2) -> Contacts:
+    """2D contacts for (polyline, ball) pairs: K nearest segments per pair
+    (≙ narrow_phase.wgsl polyline_convex). Ball is body A."""
+    from wgmath_tpu.queries.projection import project_segment
+
+    dim = poses.translation.shape[-1]
+    p_max = max_points(dim)
+    tag_a = shapes.tag[pairs.body_a]
+    tag_b = shapes.tag[pairs.body_b]
+    m_a = (tag_a == shp.POLYLINE) & (tag_b == shp.BALL)
+    m_b = (tag_b == shp.POLYLINE) & (tag_a == shp.BALL)
+    flags = (m_a | m_b) & pairs.valid
+
+    n_pairs = pairs.capacity
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    slot = jnp.where(flags & (pos < pair_cap), pos, pair_cap)
+    sel = jnp.zeros((pair_cap,), jnp.int32).at[slot].set(
+        jnp.arange(n_pairs, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(flags.astype(jnp.int32)), pair_cap)
+    active = jnp.arange(pair_cap) < count
+
+    pa = pairs.body_a[sel]
+    pb = pairs.body_b[sel]
+    mesh_is_a = shapes.tag[pa] == shp.POLYLINE
+    mesh_body = jnp.where(mesh_is_a, pa, pb)
+    ball_body = jnp.where(mesh_is_a, pb, pa)
+    mesh_pose = _take_sim(poses, mesh_body)
+    ball_pose = _take_sim(poses, ball_body)
+    radius = shapes.params[ball_body, 0] * ball_pose.scale
+    first_idx = shapes.params[mesh_body, 2].astype(jnp.int32)
+    num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
+
+    c_local = sim_ops.inv_mul_pt(mesh_pose, ball_pose.translation)
+    segs = shapes.indices  # [S, 2]
+    s_max = max(segs.shape[0], 1)
+    va = shapes.vertices[segs[:, 0]]
+    vb = shapes.vertices[segs[:, 1]]
+    proj = project_segment(c_local[:, None, :], va[None], vb[None])
+    delta = c_local[:, None, :] - proj.point
+    d_center = jnp.linalg.norm(delta, axis=-1)
+    d_surface = d_center - radius[:, None]
+    seg_ids = jnp.arange(s_max, dtype=jnp.int32)
+    in_range = ((seg_ids[None, :] >= first_idx[:, None])
+                & (seg_ids[None, :] < (first_idx + num_idx)[:, None]))
+    score = jnp.where(in_range & active[:, None], d_surface, 1e9)
+    neg_d, best = jax.lax.top_k(-score, k_best)
+    best_d = -neg_d
+    hit = best_d < prediction
+
+    bpt = jnp.take_along_axis(proj.point, best[..., None].repeat(dim, -1), 1)
+    n_mesh = c_local[:, None, :] - bpt
+    nn = jnp.linalg.norm(n_mesh, axis=-1, keepdims=True)
+    n_mesh = jnp.where(nn > 1e-9, n_mesh / jnp.maximum(nn, 1e-30),
+                       jnp.zeros_like(n_mesh).at[..., 1].set(1.0))
+    mesh_pose_b = Sim(mesh_pose.rotation[:, None], mesh_pose.translation[:, None],
+                      mesh_pose.scale[:, None])
+    n_world = sim_ops.mul_unit_vec(mesh_pose_b, n_mesh)
+    n_ab = -n_world
+    ball_pose_b = Sim(ball_pose.rotation[:, None], ball_pose.translation[:, None],
+                      ball_pose.scale[:, None])
+    n_a_local = sim_ops.inv_mul_unit_vec(ball_pose_b, n_ab)
+    pt_world = ball_pose.translation[:, None, :] + n_ab * radius[:, None, None]
+    pt_a_local = sim_ops.inv_mul_pt(ball_pose_b, pt_world)
+
+    cap = pair_cap * k_best
+    valid = (hit & active[:, None]).reshape(cap)
+    body_a = jnp.broadcast_to(ball_body[:, None], (pair_cap, k_best)).reshape(cap)
+    body_b = jnp.broadcast_to(mesh_body[:, None], (pair_cap, k_best)).reshape(cap)
+    points = jnp.zeros((cap, p_max, dim), jnp.float32).at[:, 0].set(
+        pt_a_local.reshape(cap, dim))
+    dists = jnp.full((cap, p_max), 1e9, jnp.float32).at[:, 0].set(
+        best_d.reshape(cap))
+    num_points = jnp.where(valid, 1, 0).astype(jnp.int32)
+    return Contacts(body_a, body_b, n_a_local.reshape(cap, dim), points, dists,
+                    num_points, valid)
