@@ -1,0 +1,201 @@
+"""Phase-level slope profiling of the 10k-body physics step on real TPU.
+
+Settles the bench scene once (checkpointed to .settled_10k.pkl so repeat
+profiling runs skip the ~90-frame settle), then slope-times each pipeline
+phase in isolation:
+
+  bp       broad phase (world AABBs + find_pairs)
+  np       narrow phase (given fixed pairs)
+  compact  contact compaction
+  setup    solver prepare (constraints + coloring + sort; solve w/ 0 sweeps)
+  solve    full TGS solve
+  step     the whole fused frame
+
+Run: python scripts/profile_step.py [--resettle]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (sets compile cache; provides slope_time/_log)
+import dataclasses  # noqa: E402
+import functools  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from wgmath_tpu.dynamics import SimParams  # noqa: E402
+from wgmath_tpu.pipeline import PipelineConfig, step, step_checked  # noqa: E402
+from wgmath_tpu.utils import checkpoint  # noqa: E402
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".settled_10k.pkl")
+
+
+def settled_state():
+    params = SimParams()
+    config = PipelineConfig(pair_capacity=4096, contact_capacity=2048,
+                            max_colors=16, broad_phase_block=512,
+                            sat_pair_capacity=4096, gs_cmax=1024)
+    if os.path.exists(CKPT) and "--resettle" not in sys.argv:
+        blob = checkpoint.load(CKPT)
+        state = blob["state"]
+        config = PipelineConfig(**blob["config"])
+        bench._log(f"loaded settled state from {CKPT}")
+        return state, params, config
+    from wgmath_tpu.scenes.builders import balls
+
+    state = balls(10_000, dim=3)
+    for f in range(90):
+        state, config = step_checked(state, params, config)
+        if f % 15 == 0:
+            bench._log(f"settle frame {f}, "
+                       f"pairs={int(np.asarray(state.pair_count)[0])}, "
+                       f"cap={config.pair_capacity}")
+    checkpoint.save(CKPT, {"state": state,
+                           "config": dataclasses.asdict(config)})
+    return state, params, config
+
+
+def main():
+    state, params, config = settled_state()
+    bodies = state.bodies
+    counts = np.asarray(state.pair_count)
+    bench._log(f"pairs={counts[0]} contacts={counts[1]} cmax={counts[2]} "
+               f"caps: pair={config.pair_capacity} "
+               f"contact={config.contact_capacity} gs_cmax={config.gs_cmax}")
+
+    from wgmath_tpu.broad_phase.brute_force import find_pairs
+    from wgmath_tpu.dynamics.body import update_mprops
+    from wgmath_tpu.dynamics.constraint import compact_contacts
+    from wgmath_tpu.dynamics.solver import solve
+    from wgmath_tpu.queries.narrow_phase import narrow_phase
+    from wgmath_tpu.shapes.shape import BALL, ball_radii_or_nan, world_aabbs
+
+    shapes = state.shapes
+    poses = bodies.poses
+    mprops = update_mprops(poses, bodies.local_mprops)
+    mins, maxs = world_aabbs(shapes, poses, margin=params.prediction_distance)
+    radii = ball_radii_or_nan(shapes, poses) if BALL in shapes.kinds else None
+    pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
+                       block=config.broad_phase_block,
+                       max_per_row=config.broad_phase_max_per_row,
+                       ball_radius=radii, margin=params.prediction_distance)
+    contacts = narrow_phase(poses, shapes, pairs, params.prediction_distance,
+                            sat_capacity=config.sat_pair_capacity,
+                            pfm_capacity=config.pfm_pair_capacity)
+    contacts_c, _ = compact_contacts(contacts, config.contact_capacity)
+    pairs = jax.block_until_ready(pairs)
+    contacts_c = jax.block_until_ready(contacts_c)
+
+    results = {}
+
+    def phase(name, make, args, ks=(2, 10)):
+        t = bench.slope_time(make, args, k_small=ks[0], k_large=ks[1], reps=2)
+        results[name] = t * 1e3
+        bench._log(f"{name}: {t * 1e3:.1f} ms")
+
+    # --- broad phase (includes world AABBs)
+    def make_bp(k):
+        @jax.jit
+        def f(poses):
+            def body(i, carry):
+                tr, acc = carry
+                mn, mx = world_aabbs(shapes, poses, margin=params.prediction_distance)
+                r = ball_radii_or_nan(shapes, poses)
+                p = find_pairs(mn + acc * 0, mx, capacity=config.pair_capacity,
+                               block=config.broad_phase_block,
+                               max_per_row=config.broad_phase_max_per_row,
+                               ball_radius=r, margin=params.prediction_distance)
+                return tr, acc + p.count.astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(0, k, body, (poses.translation, 0.0))
+            return acc
+        return f
+
+    phase("bp", make_bp, (poses,))
+
+    # --- narrow phase (fixed pairs)
+    def make_np(k):
+        @jax.jit
+        def f(poses, pairs):
+            def body(i, acc):
+                c = narrow_phase(poses, shapes, pairs,
+                                 params.prediction_distance + acc * 0,
+                                 sat_capacity=config.sat_pair_capacity,
+                                 pfm_capacity=config.pfm_pair_capacity)
+                return acc + jnp.sum(c.valid.astype(jnp.float32)) * 1e-9
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    phase("np", make_np, (poses, pairs))
+
+    # --- compaction
+    def make_compact(k):
+        @jax.jit
+        def f(contacts):
+            def body(i, acc):
+                c, n = compact_contacts(
+                    jax.tree.map(lambda x: x, contacts), config.contact_capacity)
+                return acc + n.astype(jnp.float32) * 1e-9 + acc * 0
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    phase("compact", make_compact, (contacts,))
+
+    # --- solver setup only (0 solver iterations)
+    p0 = dataclasses.replace(params, num_solver_iterations=0)
+
+    def make_solve(params_k, name):
+        def mk(k):
+            @jax.jit
+            def f(bodies, mprops, contacts):
+                def body(i, carry):
+                    acc, vel = carry
+                    po, ve, cons, mc = solve(
+                        bodies, mprops,
+                        dataclasses.replace(contacts,
+                                            dist=contacts.dist + acc * 0),
+                        params_k, use_jacobi=config.use_jacobi,
+                        max_colors=config.max_colors,
+                        max_per_body=config.max_per_body,
+                        warmstart_from=None, joints=None,
+                        gs_cmax=config.gs_cmax)
+                    return acc + jnp.sum(ve.linear) * 1e-9, ve
+                acc, _ = jax.lax.fori_loop(0, k, body, (0.0, bodies.vels))
+                return acc
+            return f
+        return mk
+
+    try:
+        phase("setup", make_solve(p0, "setup"), (bodies, mprops, contacts_c))
+    except Exception as e:
+        bench._log(f"setup phase failed ({type(e).__name__}: {e}) — skipping")
+    phase("solve", make_solve(params, "solve"), (bodies, mprops, contacts_c))
+
+    # --- full step
+    def make_step(k):
+        @jax.jit
+        def f(state):
+            def body(i, s):
+                return step(s, params, config)
+            s = jax.lax.fori_loop(0, k, body, state)
+            return s.bodies.poses.translation
+        return f
+
+    phase("step", make_step, (state,), ks=(2, 10))
+
+    bench._log("---- summary (ms) ----")
+    for k, v in results.items():
+        bench._log(f"{k:8s} {v:8.1f}")
+    acc = sum(v for k, v in results.items() if k != "step" and k != "solve")
+    bench._log(f"sum(bp+np+compact+setup)={acc:.1f}  "
+               f"solve-setup={results.get('solve', 0) - results.get('setup', 0):.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -372,3 +372,32 @@ def test_polyline_ball_rests_2d():
     # resting in the V crease: x ≈ 0, y ≈ r·√2 (distance r from both walls)
     assert abs(p[0]) < 0.05, p
     assert abs(p[1] - 0.3 * np.sqrt(2)) < 0.06, p
+
+
+def test_polyline_cuboid_rests_2d():
+    """2D box dropped onto a flat polyline rests level on its bottom face."""
+    from wgmath_tpu.shapes.mesh import polyline
+
+    params = SimParams()
+    pl = polyline(np.asarray([[-4.0, 0.0], [0.0, 0.0], [4.0, 0.0]], np.float32))
+    shapes = ShapeSet.concat(
+        pl, ShapeSet.cuboids(jnp.asarray([[0.4, 0.3]])))
+    trans = jnp.asarray([[0.0, 0.0], [0.3, 1.0]], jnp.float32)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (2, 1)), trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[4.0, 0.1]]),
+                            dynamic=jnp.asarray([False])),
+        cuboid_local_mprops(jnp.asarray([[0.4, 0.3]])),
+    )
+    bodies = Bodies(poses, Velocity.zero(2, 2), mp)
+    state = new_state(bodies, shapes)
+    cfg = dataclasses.replace(CFG, mesh_pair_capacity=16)
+    for _ in range(150):
+        state, cfg = step_checked(state, params, cfg)
+    p = np.asarray(state.bodies.poses.translation[1])
+    rot = np.asarray(state.bodies.poses.rotation[1])
+    # resting on its 0.3 half-extent face, level (rotation ≈ identity)
+    assert abs(p[1] - 0.3) < 0.05, p
+    assert abs(rot[1]) < 0.05, rot  # sin(theta) ≈ 0
+    v = np.asarray(state.bodies.vels.linear[1])
+    assert np.linalg.norm(v) < 0.1, v

@@ -141,12 +141,25 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             contacts = concat_contacts(contacts, cvx_contacts)
         if POLYLINE in state.shapes.kinds:
             from wgmath_tpu.queries.mesh_contact import polyline_ball_contacts
+            from wgmath_tpu.shapes.shape import BALL as _BALL
+            from wgmath_tpu.shapes.shape import CUBOID as _CUBOID
 
-            pl_contacts = polyline_ball_contacts(
-                bodies.poses, state.shapes, pairs,
-                params.prediction_distance,
-                pair_cap=config.mesh_pair_capacity // 2, k_best=2)
-            contacts = concat_contacts(contacts, pl_contacts)
+            if _BALL in state.shapes.kinds:
+                pl_contacts = polyline_ball_contacts(
+                    bodies.poses, state.shapes, pairs,
+                    params.prediction_distance,
+                    pair_cap=config.mesh_pair_capacity // 2, k_best=2)
+                contacts = concat_contacts(contacts, pl_contacts)
+            if _CUBOID in state.shapes.kinds:
+                from wgmath_tpu.queries.mesh_contact import (
+                    polyline_cuboid_contacts,
+                )
+
+                pc_contacts = polyline_cuboid_contacts(
+                    bodies.poses, state.shapes, pairs,
+                    params.prediction_distance,
+                    pair_cap=config.mesh_pair_capacity // 2, k_best=2)
+                contacts = concat_contacts(contacts, pc_contacts)
     if config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 

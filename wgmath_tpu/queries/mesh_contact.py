@@ -310,3 +310,175 @@ def polyline_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     num_points = jnp.where(valid, 1, 0).astype(jnp.int32)
     return Contacts(body_a, body_b, n_a_local.reshape(cap, dim), points, dists,
                     num_points, valid)
+
+
+def polyline_cuboid_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
+                             prediction: float, *, pair_cap: int = 256,
+                             k_best: int = 2) -> Contacts:
+    """2D contacts for (polyline, cuboid) pairs: per-segment SAT (2 box face
+    axes + segment normal), K deepest segments per pair, 2-point face
+    clipping (≙ narrow_phase.wgsl polyline_convex for box colliders).
+
+    Box is body A; all math happens in the box's local frame so normals and
+    points land directly in the output convention.
+    """
+    tag_a = shapes.tag[pairs.body_a]
+    tag_b = shapes.tag[pairs.body_b]
+    m_a = (tag_a == shp.POLYLINE) & (tag_b == shp.CUBOID)
+    m_b = (tag_b == shp.POLYLINE) & (tag_a == shp.CUBOID)
+    flags = (m_a | m_b) & pairs.valid
+
+    n_pairs = pairs.capacity
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    slot = jnp.where(flags & (pos < pair_cap), pos, pair_cap)
+    sel = jnp.zeros((pair_cap,), jnp.int32).at[slot].set(
+        jnp.arange(n_pairs, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(flags.astype(jnp.int32)), pair_cap)
+    active = jnp.arange(pair_cap) < count
+
+    pa = pairs.body_a[sel]
+    pb = pairs.body_b[sel]
+    mesh_is_a = shapes.tag[pa] == shp.POLYLINE
+    mesh_body = jnp.where(mesh_is_a, pa, pb)
+    box_body = jnp.where(mesh_is_a, pb, pa)
+    mesh_pose = _take_sim(poses, mesh_body)
+    box_pose = _take_sim(poses, box_body)
+    he = shapes.params[box_body, :2]  # box-local half extents
+    first_idx = shapes.params[mesh_body, 2].astype(jnp.int32)
+    num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
+
+    segs = shapes.indices  # [S, 2]
+    s_max = max(segs.shape[0], 1)
+    v0w = sim_ops.mul_pt(
+        Sim(mesh_pose.rotation[:, None], mesh_pose.translation[:, None],
+            mesh_pose.scale[:, None]), shapes.vertices[segs[:, 0]][None])
+    v1w = sim_ops.mul_pt(
+        Sim(mesh_pose.rotation[:, None], mesh_pose.translation[:, None],
+            mesh_pose.scale[:, None]), shapes.vertices[segs[:, 1]][None])
+    box_b = Sim(box_pose.rotation[:, None], box_pose.translation[:, None],
+                box_pose.scale[:, None])
+    p0 = sim_ops.inv_mul_pt(box_b, v0w)  # [P, S, 2] in box frame
+    p1 = sim_ops.inv_mul_pt(box_b, v1w)
+
+    # --- SAT over 3 axes (box x, box y, segment normal)
+    lo = jnp.minimum(p0, p1)
+    hi = jnp.maximum(p0, p1)
+    heb = he[:, None, :]
+    sep_pos = lo - heb
+    sep_neg = -hi - heb
+    face_sep_xy = jnp.maximum(sep_pos, sep_neg)  # [P, S, 2]
+    face_sign = jnp.where(sep_pos >= sep_neg, 1.0, -1.0)
+    face_sep = jnp.max(face_sep_xy, axis=-1)
+    face_axis = jnp.argmax(face_sep_xy, axis=-1)  # 0 or 1
+
+    d = p1 - p0
+    seg_len = jnp.linalg.norm(d, axis=-1)
+    ok_len = seg_len > 1e-9
+    n_s = jnp.stack([-d[..., 1], d[..., 0]], axis=-1) / jnp.maximum(
+        seg_len, 1e-30)[..., None]
+    c = jnp.sum(n_s * p0, axis=-1)
+    r_box = jnp.sum(jnp.abs(n_s) * heb, axis=-1)
+    sep_n = jnp.where(ok_len, jnp.abs(c) - r_box, -1e9)
+    n_dir = n_s * jnp.sign(c)[..., None]  # A→B (box → segment)
+
+    use_face = face_sep > sep_n - 1e-3  # face manifolds preferred near ties
+    sep = jnp.maximum(face_sep, sep_n)
+
+    seg_ids = jnp.arange(s_max, dtype=jnp.int32)
+    in_range = ((seg_ids[None, :] >= first_idx[:, None])
+                & (seg_ids[None, :] < (first_idx + num_idx)[:, None]))
+    score = jnp.where(in_range & active[:, None], sep, 1e9)
+    neg_s, best = jax.lax.top_k(-score, k_best)  # [P, K]
+    best_sep = -neg_s
+
+    def takek(x):  # gather per-(pair, selected segment) values
+        if x.ndim == 2:
+            return jnp.take_along_axis(x, best, axis=1)
+        return jnp.take_along_axis(x, best[..., None].repeat(x.shape[-1], -1), 1)
+
+    p0k, p1k, dk = takek(p0), takek(p1), takek(d)
+    axk = takek(face_axis)
+    sgk = jnp.take_along_axis(face_sign, best[..., None].repeat(2, -1), 1)
+    sgk = jnp.where(axk[..., None] == 0, sgk[..., :1], sgk[..., 1:])[..., 0]
+    usek = takek(use_face)
+    n_dirk = takek(n_dir)
+    sepk = best_sep
+    hit = (sepk < prediction) & active[:, None]
+
+    hex_ = he[:, None, 0]
+    hey = he[:, None, 1]
+    he_i = jnp.where(axk == 0, hex_, hey)
+    he_j = jnp.where(axk == 0, hey, hex_)
+
+    def comp(v, i):  # component i (0/1) of [...,2] with i-shaped index
+        return jnp.where(i == 0, v[..., 0], v[..., 1])
+
+    # --- face case: clip segment param range to tangential slab |x_j|<=he_j
+    j = 1 - axk
+    p0j = comp(p0k, j)
+    dj = comp(dk, j)
+    inv_dj = 1.0 / jnp.where(jnp.abs(dj) < 1e-12,
+                             jnp.where(dj < 0, -1e-12, 1e-12), dj)
+    ta = (-he_j - p0j) * inv_dj
+    tb = (he_j - p0j) * inv_dj
+    t_lo = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+    t_hi = jnp.minimum(jnp.maximum(ta, tb), 1.0)
+    slab_hit = t_hi >= t_lo
+    q0 = p0k + t_lo[..., None] * dk
+    q1 = p0k + t_hi[..., None] * dk
+    d0 = sgk * comp(q0, axk) - he_i
+    d1 = sgk * comp(q1, axk) - he_i
+    n_face = jnp.where((axk == 0)[..., None],
+                       jnp.stack([sgk, jnp.zeros_like(sgk)], -1),
+                       jnp.stack([jnp.zeros_like(sgk), sgk], -1))
+
+    def on_face(q):  # project clipped point onto the reference face
+        qi = sgk * he_i
+        return jnp.where((axk == 0)[..., None],
+                         jnp.stack([qi, q[..., 1]], -1),
+                         jnp.stack([q[..., 0], qi], -1))
+
+    f_pt0, f_pt1 = on_face(q0), on_face(q1)
+
+    # --- corner case: deepest box corner vs closest point on segment
+    sgn_c = jnp.where(n_dirk >= 0.0, 1.0, -1.0)
+    corner = sgn_c * jnp.stack([hex_, hey], -1)
+    t_c = jnp.clip(jnp.sum((corner - p0k) * dk, -1)
+                   / jnp.maximum(jnp.sum(dk * dk, -1), 1e-30), 0.0, 1.0)
+    q_c = p0k + t_c[..., None] * dk
+    delta = q_c - corner
+    d_c = jnp.linalg.norm(delta, axis=-1)
+    pen = jnp.sum(delta * n_dirk, -1) < 0.0  # corner past the segment line
+    n_corner = jnp.where(pen[..., None] | (d_c < 1e-9)[..., None],
+                         n_dirk, delta / jnp.maximum(d_c, 1e-30)[..., None])
+    dist_corner = jnp.where(pen, jnp.sum(delta * n_dirk, -1), d_c)
+
+    # --- assemble per-(pair, segment) manifolds
+    scale = box_pose.scale[:, None]
+    use_f = usek & slab_hit
+    n_out = jnp.where(use_f[..., None], n_face, n_corner)
+    pt0 = jnp.where(use_f[..., None], f_pt0, corner)
+    pt1 = jnp.where(use_f[..., None], f_pt1, corner)
+    di0 = jnp.where(use_f, d0, dist_corner) * scale
+    di1 = jnp.where(use_f, d1, dist_corner) * scale
+    v0 = hit & (jnp.where(use_f, d0, dist_corner) < prediction)
+    v1 = hit & use_f & (d1 < prediction)
+    # valid points must occupy the first num_points slots (solver masks by
+    # k < num_points) — shift slot 1 down when slot 0 missed
+    shift = (~v0) & v1
+    pt0 = jnp.where(shift[..., None], pt1, pt0)
+    di0 = jnp.where(shift, di1, di0)
+    v0, v1 = v0 | shift, v1 & ~shift
+
+    cap = pair_cap * k_best
+    pts = jnp.stack([pt0, pt1], axis=2).reshape(cap, 2, 2)
+    dis = jnp.where(jnp.stack([v0, v1], 2), jnp.stack([di0, di1], 2),
+                    1e9).reshape(cap, 2)
+    nump = (v0.astype(jnp.int32) + v1.astype(jnp.int32)).reshape(cap)
+    valid = (v0 | v1).reshape(cap)
+    body_a = jnp.broadcast_to(box_body[:, None],
+                              (pair_cap, k_best)).reshape(cap)
+    body_b = jnp.broadcast_to(mesh_body[:, None],
+                              (pair_cap, k_best)).reshape(cap)
+    return Contacts(body_a, body_b, n_out.reshape(cap, 2), pts, dis,
+                    nump, valid)
