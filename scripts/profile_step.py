@@ -45,7 +45,11 @@ def settled_state():
     if os.path.exists(CKPT) and "--resettle" not in sys.argv:
         blob = checkpoint.load(CKPT)
         state = blob["state"]
-        config = PipelineConfig(**blob["config"])
+        cfg = {k: (v.item() if hasattr(v, "item") else v)
+               for k, v in blob["config"].items()}
+        cfg = {k: bool(v) if isinstance(getattr(PipelineConfig, k), bool)
+               else int(v) for k, v in cfg.items()}
+        config = PipelineConfig(**cfg)
         bench._log(f"loaded settled state from {CKPT}")
         return state, params, config
     from wgmath_tpu.scenes.builders import balls
@@ -147,13 +151,13 @@ def main():
 
     phase("compact", make_compact, (contacts,))
 
-    # --- solver setup only (0 solver iterations)
-    p0 = dataclasses.replace(params, num_solver_iterations=0)
+    # --- solver: 1 vs 4 substeps isolates setup (coloring+sort) from sweeps
+    p1 = dataclasses.replace(params, num_solver_iterations=1)
 
-    def make_solve(params_k, name):
+    def make_solve(params_k, ws):
         def mk(k):
             @jax.jit
-            def f(bodies, mprops, contacts):
+            def f(bodies, mprops, contacts, prev):
                 def body(i, carry):
                     acc, vel = carry
                     po, ve, cons, mc = solve(
@@ -163,7 +167,7 @@ def main():
                         params_k, use_jacobi=config.use_jacobi,
                         max_colors=config.max_colors,
                         max_per_body=config.max_per_body,
-                        warmstart_from=None, joints=None,
+                        warmstart_from=prev if ws else None, joints=None,
                         gs_cmax=config.gs_cmax)
                     return acc + jnp.sum(ve.linear) * 1e-9, ve
                 acc, _ = jax.lax.fori_loop(0, k, body, (0.0, bodies.vels))
@@ -171,11 +175,23 @@ def main():
             return f
         return mk
 
-    try:
-        phase("setup", make_solve(p0, "setup"), (bodies, mprops, contacts_c))
-    except Exception as e:
-        bench._log(f"setup phase failed ({type(e).__name__}: {e}) — skipping")
-    phase("solve", make_solve(params, "solve"), (bodies, mprops, contacts_c))
+    prev = state.prev_constraints
+    phase("solve1", make_solve(p1, False), (bodies, mprops, contacts_c, prev))
+    phase("solve", make_solve(params, False), (bodies, mprops, contacts_c, prev))
+    phase("solve_ws", make_solve(params, True),
+          (bodies, mprops, contacts_c, prev))
+
+    # --- step without warmstart (isolates transfer_warmstart in context)
+    def make_step_nows(k):
+        @jax.jit
+        def f(state):
+            def body(i, s):
+                return step(s, params, config, warmstart=False)
+            s = jax.lax.fori_loop(0, k, body, state)
+            return s.bodies.poses.translation
+        return f
+
+    phase("step_nows", make_step_nows, (state,), ks=(2, 10))
 
     # --- full step
     def make_step(k):
@@ -192,9 +208,11 @@ def main():
     bench._log("---- summary (ms) ----")
     for k, v in results.items():
         bench._log(f"{k:8s} {v:8.1f}")
-    acc = sum(v for k, v in results.items() if k != "step" and k != "solve")
-    bench._log(f"sum(bp+np+compact+setup)={acc:.1f}  "
-               f"solve-setup={results.get('solve', 0) - results.get('setup', 0):.1f}")
+    s1, s4 = results.get("solve1", 0), results.get("solve", 0)
+    per_sub = (s4 - s1) / 3.0
+    bench._log(f"per-substep={per_sub:.1f}  setup≈{s1 - per_sub:.1f}  "
+               f"warmstart_delta={results.get('solve_ws', 0) - s4:.1f}  "
+               f"step_unaccounted={results.get('step', 0) - results.get('bp', 0) - results.get('np', 0) - results.get('compact', 0) - results.get('solve_ws', 0):.1f}")
 
 
 if __name__ == "__main__":

@@ -234,6 +234,77 @@ def cuboid_local_mprops(half_extents: jax.Array, density: float = 1.0,
     return LocalMassProperties(inv_mass, com, None, inv_i)
 
 
+def capsule_local_mprops(half_heights, radii, density: float = 1.0,
+                         *, dim: int = 3, dynamic=None) -> LocalMassProperties:
+    """Capsule mass properties: cylinder/rect plus two hemispheres/half-disks
+    (parry MassProperties::from_capsule parity)."""
+    hh = jnp.asarray(half_heights, jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    n = hh.shape[0]
+    if dim == 3:
+        m_cyl = density * jnp.pi * r**2 * 2.0 * hh
+        m_hemi = density * (2.0 / 3.0) * jnp.pi * r**3
+        mass = m_cyl + 2.0 * m_hemi
+        iy = m_cyl * r**2 / 2.0 + 2.0 * m_hemi * (2.0 / 5.0) * r**2
+        c = 3.0 * r / 8.0  # hemisphere COM offset from flat face
+        i_hemi_com = (83.0 / 320.0) * m_hemi * r**2
+        ix = (m_cyl * (3.0 * r**2 + 4.0 * hh**2) / 12.0
+              + 2.0 * (i_hemi_com + m_hemi * (hh + c) ** 2))
+        inertia = jnp.stack([ix, iy, ix], axis=-1)
+    else:
+        m_rect = density * 2.0 * r * 2.0 * hh
+        m_half = density * jnp.pi * r**2 / 2.0
+        mass = m_rect + 2.0 * m_half
+        c = 4.0 * r / (3.0 * jnp.pi)
+        i_half_com = m_half * r**2 / 2.0 - m_half * c**2
+        inertia = (m_rect * (4.0 * r**2 + 4.0 * hh**2) / 12.0
+                   + 2.0 * (i_half_com + m_half * (hh + c) ** 2))
+    dyn = jnp.ones(n, bool) if dynamic is None else jnp.asarray(dynamic)
+    inv_m = jnp.where(dyn, 1.0 / mass, 0.0)
+    inv_mass = jnp.repeat(inv_m[:, None], dim, axis=1)
+    com = jnp.zeros((n, dim), jnp.float32)
+    if dim == 3:
+        inv_i = jnp.where(dyn[:, None], 1.0 / inertia, 0.0)
+        return LocalMassProperties(inv_mass, com, quat.identity((n,)), inv_i)
+    return LocalMassProperties(inv_mass, com, None,
+                               jnp.where(dyn, 1.0 / inertia, 0.0))
+
+
+def cylinder_local_mprops(half_heights, radii, density: float = 1.0,
+                          *, dynamic=None) -> LocalMassProperties:
+    """Solid 3D cylinder, axis +Y."""
+    hh = jnp.asarray(half_heights, jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    n = hh.shape[0]
+    mass = density * jnp.pi * r**2 * 2.0 * hh
+    iy = mass * r**2 / 2.0
+    ix = mass * (3.0 * r**2 + 4.0 * hh**2) / 12.0
+    dyn = jnp.ones(n, bool) if dynamic is None else jnp.asarray(dynamic)
+    inv_m = jnp.where(dyn, 1.0 / mass, 0.0)
+    inv_i = jnp.where(dyn[:, None], 1.0 / jnp.stack([ix, iy, ix], -1), 0.0)
+    return LocalMassProperties(jnp.repeat(inv_m[:, None], 3, 1),
+                               jnp.zeros((n, 3), jnp.float32),
+                               quat.identity((n,)), inv_i)
+
+
+def cone_local_mprops(half_heights, radii, density: float = 1.0,
+                      *, dynamic=None) -> LocalMassProperties:
+    """Solid 3D cone, apex +half_height; COM sits H/4 above the base."""
+    hh = jnp.asarray(half_heights, jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    n = hh.shape[0]
+    big_h = 2.0 * hh
+    mass = density * jnp.pi * r**2 * big_h / 3.0
+    iy = 0.3 * mass * r**2
+    ix = mass * (3.0 * r**2 / 20.0 + 3.0 * big_h**2 / 80.0)
+    com = jnp.zeros((n, 3), jnp.float32).at[:, 1].set(-hh / 2.0)
+    dyn = jnp.ones(n, bool) if dynamic is None else jnp.asarray(dynamic)
+    inv_m = jnp.where(dyn, 1.0 / mass, 0.0)
+    inv_i = jnp.where(dyn[:, None], 1.0 / jnp.stack([ix, iy, ix], -1), 0.0)
+    return LocalMassProperties(jnp.repeat(inv_m[:, None], 3, 1), com,
+                               quat.identity((n,)), inv_i)
+
+
 def _example_bodies():
     from wgmath_tpu.geometry import sim as sim_ops
 

@@ -279,3 +279,131 @@ SCENES.update({
     "balls2": balls2d,
     "pyramid2": lambda: boxes(200, dim=2),
 })
+
+
+def primitives3(per_kind: int = 40) -> PhysicsState:
+    """Mixed primitive rain: balls, cuboids, capsules, cylinders, cones
+    (≙ primitives3.rs) — exercises every support-mapped narrow-phase path."""
+    from wgmath_tpu.dynamics.body import (
+        capsule_local_mprops,
+        cone_local_mprops,
+        cylinder_local_mprops,
+    )
+
+    n = per_kind
+    r, hh, he = 0.4, 0.3, 0.4
+    shapes = ShapeSet.concat(
+        ShapeSet.balls(jnp.full((n,), r)),
+        ShapeSet.cuboids(jnp.full((n, 3), he)),
+        ShapeSet.capsules(jnp.full((n,), hh), jnp.full((n,), r)),
+        ShapeSet.cylinders(jnp.full((n,), hh), jnp.full((n,), r)),
+        ShapeSet.cones(jnp.full((n,), hh), jnp.full((n,), r)),
+    )
+    mp = _merge_mprops(
+        ball_local_mprops(jnp.full((n,), r)),
+        cuboid_local_mprops(jnp.full((n, 3), he)),
+        capsule_local_mprops(jnp.full((n,), hh), jnp.full((n,), r)),
+        cylinder_local_mprops(jnp.full((n,), hh), jnp.full((n,), r)),
+        cone_local_mprops(jnp.full((n,), hh), jnp.full((n,), r)),
+    )
+    total = 5 * n
+    rng = np.random.default_rng(7)
+    side = int(np.ceil(total ** (1.0 / 3.0)))
+    coords = np.stack(np.meshgrid(*([np.arange(side)] * 3),
+                                  indexing="ij"), -1).reshape(-1, 3)[:total]
+    pos = coords.astype(np.float32) * 1.4
+    pos -= pos.mean(0, keepdims=True) * np.asarray([1.0, 0.0, 1.0])
+    pos[:, 1] += 1.5
+    pos += rng.uniform(-0.05, 0.05, pos.shape).astype(np.float32)
+    return _with_ground(shapes, jnp.asarray(pos), mp)
+
+
+def boxes_and_balls(n: int = 400, *, dim: int = 3) -> PhysicsState:
+    """Alternating boxes and balls (≙ boxes_and_balls{2,3}.rs)."""
+    rng = np.random.default_rng(3)
+    half = n // 2
+    r, he = 0.5, 0.5
+    shapes = ShapeSet.concat(
+        ShapeSet.balls(jnp.full((half,), r), dim=dim),
+        ShapeSet.cuboids(jnp.full((n - half, dim), he)))
+    mp = _merge_mprops(
+        ball_local_mprops(jnp.full((half,), r), dim=dim),
+        cuboid_local_mprops(jnp.full((n - half, dim), he)))
+    side = int(np.ceil(n ** (1.0 / dim)))
+    coords = np.stack(np.meshgrid(*([np.arange(side)] * dim),
+                                  indexing="ij"), -1).reshape(-1, dim)[:n]
+    pos = coords.astype(np.float32) * 1.15
+    pos -= pos.mean(0, keepdims=True) * np.asarray([1.0, 0.0] + [1.0] * (dim - 2))
+    pos[:, 1] += 1.0
+    pos += rng.uniform(-0.03, 0.03, pos.shape).astype(np.float32)
+    return _with_ground(shapes, jnp.asarray(pos), mp, dim=dim)
+
+
+def polyline2(n: int = 200) -> PhysicsState:
+    """2D balls + boxes raining on a jagged polyline terrain
+    (≙ polyline2.rs)."""
+    from wgmath_tpu.shapes.mesh import polyline
+
+    rng = np.random.default_rng(11)
+    xs = np.linspace(-20.0, 20.0, 41)
+    ys = np.sin(xs * 0.6) * 1.5
+    terrain = polyline(np.stack([xs, ys], -1).astype(np.float32))
+    half = n // 2
+    r, he = 0.3, 0.3
+    shapes = ShapeSet.concat(
+        terrain,
+        ShapeSet.balls(jnp.full((half,), r), dim=2),
+        ShapeSet.cuboids(jnp.full((n - half, 2), he)))
+    pos = np.zeros((n, 2), np.float32)
+    pos[:, 0] = rng.uniform(-15, 15, n)
+    pos[:, 1] = rng.uniform(4, 14, n)
+    trans = jnp.concatenate([jnp.zeros((1, 2), jnp.float32), jnp.asarray(pos)])
+    total = n + 1
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (total, 1)),
+                               trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[20.0, 2.0]]),
+                            dynamic=jnp.asarray([False])),
+        ball_local_mprops(jnp.full((half,), r), dim=2),
+        cuboid_local_mprops(jnp.full((n - half, 2), he)))
+    bodies = Bodies(poses, Velocity.zero(total, 2), mp)
+    return new_state(bodies, shapes)
+
+
+def joint_chain(links: int = 8, *, joint: str = "fixed") -> PhysicsState:
+    """Chain of balls under fixed or prismatic joints (≙ joints3.rs)."""
+    from wgmath_tpu.dynamics.joint import fixed_joints, prismatic_joints
+
+    n = links + 1
+    r = 0.2
+    shapes = ShapeSet.balls(jnp.full((n,), r))
+    trans = np.zeros((n, 3), np.float32)
+    trans[:, 0] = np.arange(n) * 1.0
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1)),
+                               jnp.asarray(trans))
+    dynamic = np.ones(n, bool)
+    dynamic[0] = False
+    mp = ball_local_mprops(jnp.full((n,), r), dynamic=jnp.asarray(dynamic))
+    bodies = Bodies(poses, Velocity.zero(n, 3), mp)
+    body_a = list(range(links))
+    body_b = list(range(1, links + 1))
+    anchors_a = [[0.5, 0.0, 0.0]] * links
+    anchors_b = [[-0.5, 0.0, 0.0]] * links
+    if joint == "prismatic":
+        joints = prismatic_joints(body_a, body_b, anchors_a, anchors_b,
+                                  axes=[[0.0, 1.0, 0.0]] * links,
+                                  limits=(-0.5, 0.5), dynamic_mask=dynamic)
+    else:
+        joints = fixed_joints(body_a, body_b, anchors_a, anchors_b,
+                              dynamic_mask=dynamic)
+    return new_state(bodies, shapes, joints)
+
+
+SCENES.update({
+    "primitives3": primitives3,
+    "boxes_and_balls3": lambda: boxes_and_balls(400, dim=3),
+    "boxes_and_balls2": lambda: boxes_and_balls(200, dim=2),
+    "polyline2": polyline2,
+    "joint_fixed3": lambda: joint_chain(8, joint="fixed"),
+    "joint_prismatic3": lambda: joint_chain(6, joint="prismatic"),
+})

@@ -107,6 +107,32 @@ class ShapeSet:
                         kinds=frozenset((CAPSULE,)))
 
     @staticmethod
+    def cylinders(half_heights, radii) -> "ShapeSet":
+        """3D cylinders, axis +Y (≙ shapes/cylinder.wgsl)."""
+        hh = jnp.asarray(half_heights, jnp.float32)
+        r = jnp.asarray(radii, jnp.float32)
+        n = hh.shape[0]
+        params = (jnp.zeros((n, NUM_PARAMS), jnp.float32)
+                  .at[:, 0].set(hh).at[:, 1].set(r))
+        return ShapeSet(jnp.full((n,), CYLINDER, jnp.int32), params,
+                        jnp.zeros((0, 3), jnp.float32),
+                        jnp.zeros((0, 3), jnp.int32),
+                        kinds=frozenset((CYLINDER,)))
+
+    @staticmethod
+    def cones(half_heights, radii) -> "ShapeSet":
+        """3D cones, apex +Y, base disk at −half_height (≙ cone.wgsl)."""
+        hh = jnp.asarray(half_heights, jnp.float32)
+        r = jnp.asarray(radii, jnp.float32)
+        n = hh.shape[0]
+        params = (jnp.zeros((n, NUM_PARAMS), jnp.float32)
+                  .at[:, 0].set(hh).at[:, 1].set(r))
+        return ShapeSet(jnp.full((n,), CONE, jnp.int32), params,
+                        jnp.zeros((0, 3), jnp.float32),
+                        jnp.zeros((0, 3), jnp.int32),
+                        kinds=frozenset((CONE,)))
+
+    @staticmethod
     def concat(*sets: "ShapeSet") -> "ShapeSet":
         """Concatenate shape sets, rebasing mesh buffer references."""
         tags, params, verts, idxs = [], [], [], []
