@@ -116,7 +116,10 @@ def main():
                                block=config.broad_phase_block,
                                max_per_row=config.broad_phase_max_per_row,
                                ball_radius=r, margin=params.prediction_distance)
-                return tr, acc + p.count.astype(jnp.float32)
+                # consume every output so nothing is DCE'd out of the timing
+                acc = (acc + p.count.astype(jnp.float32)
+                       + jnp.sum(p.body_a + p.body_b).astype(jnp.float32) * 1e-9)
+                return tr, acc
             _, acc = jax.lax.fori_loop(0, k, body, (poses.translation, 0.0))
             return acc
         return f
@@ -132,7 +135,9 @@ def main():
                                  params.prediction_distance + acc * 0,
                                  sat_capacity=config.sat_pair_capacity,
                                  pfm_capacity=config.pfm_pair_capacity)
-                return acc + jnp.sum(c.valid.astype(jnp.float32)) * 1e-9
+                return (acc + jnp.sum(c.valid.astype(jnp.float32)) * 1e-9
+                        + jnp.sum(c.points_a) * 1e-9 + jnp.sum(c.normal_a) * 1e-9
+                        + jnp.sum(jnp.where(jnp.isfinite(c.dist), c.dist, 0.0)) * 1e-9)
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
 
@@ -145,7 +150,8 @@ def main():
             def body(i, acc):
                 c, n = compact_contacts(
                     jax.tree.map(lambda x: x, contacts), config.contact_capacity)
-                return acc + n.astype(jnp.float32) * 1e-9 + acc * 0
+                return (acc + n.astype(jnp.float32) * 1e-9 + acc * 0
+                        + jnp.sum(c.points_a) * 1e-9 + jnp.sum(c.body_a) * 1e-9)
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
 
@@ -169,7 +175,11 @@ def main():
                         max_per_body=config.max_per_body,
                         warmstart_from=prev if ws else None, joints=None,
                         gs_cmax=config.gs_cmax)
-                    return acc + jnp.sum(ve.linear) * 1e-9, ve
+                    acc = (acc + jnp.sum(ve.linear) * 1e-9
+                           + jnp.sum(po.translation) * 1e-9
+                           + jnp.sum(cons.n_impulse) * 1e-9
+                           + mc.astype(jnp.float32) * 1e-9)
+                    return acc, ve
                 acc, _ = jax.lax.fori_loop(0, k, body, (0.0, bodies.vels))
                 return acc
             return f

@@ -401,3 +401,57 @@ def test_polyline_cuboid_rests_2d():
     assert abs(rot[1]) < 0.05, rot  # sin(theta) ≈ 0
     v = np.asarray(state.bodies.vels.linear[1])
     assert np.linalg.norm(v) < 0.1, v
+
+
+def test_grid_broad_phase_matches_brute():
+    """Grid BP returns exactly the brute-force pair set (random AABBs with a
+    big 'ground' box exercising the global side list)."""
+    from wgmath_tpu.broad_phase.brute_force import find_pairs
+    from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+    rng = np.random.default_rng(5)
+    for trial, (n, dim) in enumerate([(200, 3), (150, 2), (300, 3)]):
+        c = rng.uniform(-10, 10, (n, dim)).astype(np.float32)
+        h = rng.uniform(0.2, 0.7, (n, 1)).astype(np.float32)
+        mins = c - h
+        maxs = c + h
+        mins[0] = -50.0  # giant static slab → global list
+        maxs[0] = 50.0
+        maxs[0, 1] = -9.0
+        bf = find_pairs(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
+                        max_per_row=128)
+        gr = find_pairs_grid(jnp.asarray(mins), jnp.asarray(maxs),
+                             capacity=4096, max_per_body=128, cell_cap=32)
+        def pair_set(p):
+            a = np.asarray(p.body_a)[np.asarray(p.valid)]
+            b = np.asarray(p.body_b)[np.asarray(p.valid)]
+            return set(zip(a.tolist(), b.tolist()))
+        sb, sg = pair_set(bf), pair_set(gr)
+        assert int(gr.count) == int(bf.count) == len(sb), (
+            trial, int(gr.count), int(bf.count), len(sb))
+        assert sb == sg, (trial, len(sb ^ sg), sorted(sb ^ sg)[:5])
+
+
+def test_grid_broad_phase_ball_prefilter():
+    from wgmath_tpu.broad_phase.brute_force import find_pairs
+    from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+    rng = np.random.default_rng(9)
+    n = 256
+    c = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    r = rng.uniform(0.3, 0.6, (n,)).astype(np.float32)
+    mins = c - r[:, None]
+    maxs = c + r[:, None]
+    rad = r.copy()
+    rad[:16] = np.nan  # some non-balls
+    bf = find_pairs(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
+                    max_per_row=128, ball_radius=jnp.asarray(rad), margin=0.1)
+    gr = find_pairs_grid(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
+                         max_per_body=128, cell_cap=64,
+                         ball_radius=jnp.asarray(rad), margin=0.1)
+    def pair_set(p):
+        a = np.asarray(p.body_a)[np.asarray(p.valid)]
+        b = np.asarray(p.body_b)[np.asarray(p.valid)]
+        return set(zip(a.tolist(), b.tolist()))
+    assert pair_set(bf) == pair_set(gr)
+    assert int(bf.count) == int(gr.count)

@@ -1,0 +1,188 @@
+"""Uniform-grid broad phase — sort-based spatial hashing.
+
+Functional upgrade over the reference's brute-force/LBVH broad phases
+(broad_phase/brute_force_broad_phase.rs, lbvh.rs): same contract (all
+overlapping AABB pairs, fixed-capacity output, overflow via count), but
+O(N·27·cell_cap) instead of O(N²). The TPU recipe is the classic GPU
+particle-grid method recast as sorts and gathers (no atomics, no
+data-dependent shapes):
+
+1. pick ``cell_size`` ≥ every "small" body's AABB extent (a high percentile
+   of the extent distribution, so outliers don't blow up cell occupancy);
+   larger bodies go to a dense side list (``global_cap``),
+2. sort bodies by packed integer cell key,
+3. each body binary-searches its 27 (3D) / 9 (2D) neighbor cells in the
+   sorted keys and reads up to ``cell_cap`` occupants per cell,
+4. exact AABB (and optional exact sphere-sphere) tests on the candidates,
+5. per-body ``top_k`` extracts up to ``max_per_body`` hits, then one small
+   cumsum+scatter compacts them into the output buffer.
+
+Cell-key wraparound (coordinates are hashed into 10 bits per axis) can only
+*add* candidates — they are removed by the exact AABB test — and duplicate
+neighbor keys (two offsets wrapping onto the same cell) are masked so no
+pair is emitted twice.
+
+Overflow protocol matches brute_force.find_pairs: ``count`` is the true pair
+count, negative when any per-body/cell/global budget was exceeded (the host
+doubles the budgets and re-runs, ≙ pipeline.rs:505-545 reallocate-and-rerun).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from wgmath_tpu.broad_phase.brute_force import PairList
+from wgmath_tpu.core.module import KernelModule, register_module
+
+
+def _neighbor_offsets(dim: int) -> jnp.ndarray:
+    rng = jnp.arange(-1, 2)
+    if dim == 3:
+        g = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1)
+        return g.reshape(27, 3)
+    g = jnp.stack(jnp.meshgrid(rng, rng, indexing="ij"), -1)
+    return g.reshape(9, 2)
+
+
+def _pack_key(cells: jax.Array) -> jax.Array:
+    """Pack per-axis cell coords into one i32 key (10 bits/axis 3D,
+    15 bits/axis 2D). Wraparound collisions are safe (extra candidates only).
+    """
+    dim = cells.shape[-1]
+    if dim == 3:
+        c = cells & 1023
+        return c[..., 0] | (c[..., 1] << 10) | (c[..., 2] << 20)
+    c = cells & 32767
+    return c[..., 0] | (c[..., 1] << 15)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "max_per_body",
+                                             "cell_cap", "global_cap"))
+def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
+                    max_per_body: int = 16, cell_cap: int = 8,
+                    global_cap: int = 64, active=None,
+                    ball_radius=None, margin: float = 0.0) -> PairList:
+    """All overlapping AABB pairs (i < j) via the sorted uniform grid."""
+    n, dim = mins.shape
+    n_off = 27 if dim == 3 else 9
+    if active is None:
+        active = jnp.ones((n,), bool)
+
+    ext = maxs - mins
+    ext_max = jnp.max(ext, axis=-1)
+    ext_valid = jnp.where(active, ext_max, 0.0)
+    # robust cell size: 92nd percentile of extents; anything larger is a
+    # "global" body tested densely against everyone
+    k90 = max(int(n * 0.92) - 1, 0)
+    cell = jnp.sort(ext_valid)[k90] * 1.0001 + 1e-6
+    center = 0.5 * (mins + maxs)
+
+    is_global = active & (ext_max > cell)
+    n_glob = jnp.sum(is_global.astype(jnp.int32))
+    glob_overflow = n_glob > global_cap
+    gcap = min(global_cap, n)
+    gscore = jnp.where(is_global, n - jnp.arange(n), 0)
+    gtop, _ = jax.lax.top_k(gscore, gcap)
+    g_ids = jnp.where(gtop > 0, n - gtop, n - 1)  # [G]
+    g_valid = gtop > 0
+
+    # --- grid side: small active bodies only
+    in_grid = active & ~is_global
+    cells = jnp.floor(center / cell).astype(jnp.int32)
+    key = jnp.where(in_grid, _pack_key(cells), jnp.int32(0x7FFFFFFF))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    skey, sid = jax.lax.sort_key_val(key, ids)
+
+    offs = _neighbor_offsets(dim)  # [O, dim]
+    nkeys = _pack_key(cells[:, None, :] + offs[None, :, :])  # [N, O]
+    # mask neighbor offsets whose wrapped key repeats an earlier offset
+    dup = (nkeys[:, :, None] == nkeys[:, None, :])
+    earlier = jnp.tril(jnp.ones((n_off, n_off), bool), k=-1)
+    fresh = ~jnp.any(dup & earlier[None], axis=-1)  # [N, O]
+
+    lo = jnp.searchsorted(skey, nkeys.reshape(-1), side="left").reshape(n, n_off)
+    hi = jnp.searchsorted(skey, nkeys.reshape(-1), side="right").reshape(n, n_off)
+    cell_overflow = jnp.any((hi - lo) > cell_cap)
+
+    slots = jnp.arange(cell_cap, dtype=jnp.int32)
+    pos = lo[:, :, None] + slots[None, None, :]  # [N, O, K]
+    in_cell = (pos < hi[:, :, None]) & fresh[:, :, None]
+    pos = jnp.minimum(pos, n - 1)
+    cand = sid[pos]  # [N, O, K] candidate body ids
+
+    cand_f = cand.reshape(n, n_off * cell_cap)
+    mask_f = in_cell.reshape(n, n_off * cell_cap)
+    # append the dense global columns (globals never appear in the grid)
+    gcols = jnp.broadcast_to(g_ids[None, :], (n, gcap))
+    gmask = jnp.broadcast_to(g_valid[None, :], (n, gcap))
+    cand_f = jnp.concatenate([cand_f, gcols], axis=1)
+    mask_f = jnp.concatenate([mask_f, gmask], axis=1)
+    w = cand_f.shape[1]
+
+    rows = ids[:, None]
+    # grid-grid pairs emit from the higher body index; pairs with a global
+    # emit from the non-global side (globals' own rows are inactive below),
+    # global-global pairs from the higher index
+    is_glob_row = is_global[:, None]
+    is_glob_col = is_global[cand_f]
+    order_ok = jnp.where(is_glob_col & ~is_glob_row, True,
+                         rows > cand_f)
+    mask_f &= order_ok & (cand_f != rows) & active[:, None] & active[cand_f]
+    # rows: grid bodies scan grid+globals; global rows scan globals only
+    row_scan = active & (in_grid | is_global)
+    grid_cols = jnp.arange(w) < n_off * cell_cap
+    mask_f &= jnp.where(is_glob_row & grid_cols[None, :], False, True)
+    mask_f &= row_scan[:, None]
+
+    # exact AABB overlap
+    cmins = mins[cand_f]
+    cmaxs = maxs[cand_f]
+    overlap = jnp.all((mins[:, None, :] <= cmaxs)
+                      & (cmins <= maxs[:, None, :]), axis=-1)
+    if ball_radius is not None:
+        rr = jnp.asarray(ball_radius)
+        d2 = jnp.sum((center[:, None, :] - center[cand_f]) ** 2, axis=-1)
+        lim = rr[:, None] + rr[cand_f] + margin
+        sphere_hit = d2 <= lim * lim
+        overlap = jnp.where(jnp.isfinite(lim), overlap & sphere_hit, overlap)
+    mask_f &= overlap
+
+    row_counts = jnp.sum(mask_f, axis=-1, dtype=jnp.int32)
+    kk = min(max_per_body, w)
+    row_overflow = jnp.any(row_counts > kk)
+    score = jnp.where(mask_f, n - cand_f, 0)
+    top, ti = jax.lax.top_k(score, kk)
+    hit = top > 0
+    b_ids = n - top
+    a_ids = jnp.broadcast_to(ids[:, None], (n, kk))
+
+    flat_hit = hit.reshape(-1)
+    local = jnp.cumsum(flat_hit.astype(jnp.int32)) - 1
+    out_pos = jnp.where(flat_hit, local, capacity)
+    out_pos = jnp.minimum(out_pos, capacity)
+    out_a = jnp.zeros(capacity, jnp.int32).at[out_pos].set(
+        a_ids.reshape(-1), mode="drop")
+    out_b = jnp.zeros(capacity, jnp.int32).at[out_pos].set(
+        b_ids.reshape(-1), mode="drop")
+    emit = jnp.sum(flat_hit, dtype=jnp.int32)
+    true_count = jnp.sum(row_counts)
+    overflow = row_overflow | cell_overflow | glob_overflow
+    count = jnp.where(overflow, -jnp.maximum(true_count, 1), true_count)
+    valid = jnp.arange(capacity) < jnp.minimum(emit, capacity)
+    lo_b = jnp.minimum(out_a, out_b)
+    hi_b = jnp.maximum(out_a, out_b)
+    return PairList(lo_b, hi_b, valid, count)
+
+
+register_module(
+    KernelModule(
+        "broad_phase.grid",
+        deps=("broad_phase.brute_force",),
+        provides={"find_pairs_grid": find_pairs_grid},
+        doc="Sorted uniform-grid broad phase (≙ LBVH find_pairs contract, "
+            "lbvh.rs:285, with the particle-grid algorithm).",
+    )
+)

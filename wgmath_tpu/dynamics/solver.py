@@ -137,11 +137,14 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
             win = cand & win_a & win_b
             colors = jnp.where(win, color, colors)
             win2 = jnp.concatenate([win, win]) & dyn2
-            used = used.at[jnp.where(win2, bodies2, num_bodies)].set(
-                True, mode="drop")
+            # winners form an independent set → their bodies are unique;
+            # losers go to disjoint scratch rows → fast-path scatter
+            used = used.at[jnp.where(win2, bodies2, trash2)].set(
+                True, mode="promise_in_bounds", unique_indices=True)
             return colors, used
 
-        used = jnp.zeros((num_bodies,), bool)
+        trash2 = num_bodies + jnp.arange(2 * c, dtype=jnp.int32)
+        used = jnp.zeros((num_bodies + 2 * c,), bool)
         colors, _ = jax.lax.fori_loop(0, claim_rounds, one_round, (colors, used))
         return colors
 
@@ -316,6 +319,65 @@ def warmstart_apply(cons: ContactConstraints, vels: Velocity) -> Velocity:
     return Velocity(lin, ang)
 
 
+def build_sorted_sides(cons: ContactConstraints, n: int):
+    """Per-frame prep for ``warmstart_apply_sorted``: order the 2C constraint
+    sides by body index and precompute each body's [left, right) segment.
+    One u32 sort per frame replaces four duplicate-heavy scatter-adds per
+    substep (duplicate scatters serialize on TPU)."""
+    dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+    side_valid = jnp.concatenate([cons.valid & dyn_a, cons.valid & dyn_b])
+    side_bodies = jnp.concatenate([cons.body_a, cons.body_b])
+    key = jnp.where(side_valid, side_bodies, n).astype(jnp.int32)
+    order = jnp.argsort(key).astype(jnp.int32)
+    sorted_keys = key[order]
+    bodies_idx = jnp.arange(n, dtype=jnp.int32)
+    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left")
+    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right")
+    return order, left.astype(jnp.int32), right.astype(jnp.int32)
+
+
+def warmstart_apply_sorted(cons: ContactConstraints, vels: Velocity,
+                           sides) -> Velocity:
+    """``warmstart_apply`` via body-sorted sides + prefix-sum segment
+    differences — gathers and one cumsum instead of scatter-adds."""
+    order, left, right = sides
+    dim = cons.dim
+    p_max = cons.n_impulse.shape[1]
+    d1l = jnp.zeros_like(cons.dir_a)
+    d2l = jnp.zeros_like(cons.dir_a)
+    d1a = jnp.zeros_like(cons.n_torque_a[:, 0])
+    d2a = jnp.zeros_like(d1a)
+    mask = cons.valid
+    for k in range(p_max):
+        imp = jnp.where(mask & (k < cons.num_points), cons.n_impulse[:, k], 0.0)
+        d1l += cons.dir_a * (cons.im_a * imp[:, None])
+        d1a += _scale_ang(cons.n_ii_torque_a[:, k], imp)
+        d2l -= cons.dir_a * (cons.im_b * imp[:, None])
+        d2a += _scale_ang(cons.n_ii_torque_b[:, k], imp)
+        for j in range(cons.tangent_a.shape[-2]):
+            timp = jnp.where(mask & (k < cons.num_points),
+                             cons.t_impulse[:, k, j], 0.0)
+            tj = cons.tangent_a[:, j]
+            d1l += tj * (cons.im_a * timp[:, None])
+            d1a += _scale_ang(cons.t_ii_torque_a[:, k, j], timp)
+            d2l -= tj * (cons.im_b * timp[:, None])
+            d2a += _scale_ang(cons.t_ii_torque_b[:, k, j], timp)
+    ang2d = d1a.ndim == 1
+    da = jnp.concatenate([d1a, d2a])
+    if ang2d:
+        da = da[:, None]
+    packed = jnp.concatenate([jnp.concatenate([d1l, d2l]), da], axis=-1)
+    packed = packed[order]
+    cs = jnp.concatenate([jnp.zeros((1, packed.shape[1]), packed.dtype),
+                          jnp.cumsum(packed, axis=0)])
+    seg = cs[right] - cs[left]
+    lin = vels.linear + seg[:, :dim]
+    ang_d = seg[:, dim:]
+    ang = vels.angular + (ang_d[:, 0] if ang2d else ang_d)
+    return Velocity(lin, ang)
+
+
 # ---------------------------------------------------------------------------
 # Colored Gauss-Seidel pass (≙ step_gauss_seidel per color)
 # ---------------------------------------------------------------------------
@@ -411,8 +473,18 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
 
     ang2d = vels.angular.ndim == 1
     ang_v = vels.angular[:, None] if ang2d else vels.angular
+    n_bodies = vels.linear.shape[0]
+    # cmax scratch rows absorb padding/static writes so every scatter-add
+    # below carries unique indices — XLA's fast TPU scatter path (the
+    # duplicate-tolerant path serializes; it dominated the solve before)
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
+    packed0 = jnp.concatenate(
+        [packed0, jnp.zeros((cmax, dim + adim), packed0.dtype)])
+    # same-color constraints share no *dynamic* body (coloring predicate:
+    # any(im != 0)); only dynamic-body writes keep their real index
+    dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
+    dyn_b_s = jnp.any(sorted_cons.im_b != 0.0, axis=-1)
 
     def one_color(color, carry):
         packed, n_imp, t_imp = carry
@@ -437,20 +509,23 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
         n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n, start, 0)
         t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t, start, 0)
-        n_bodies = packed.shape[0]
-        ba_sel = jnp.where(active, ba, n_bodies)
-        bb_sel = jnp.where(active, bb, n_bodies)
+        trash = n_bodies + slot  # disjoint scratch row per slot → unique
+        ba_sel = jnp.where(active & sl(dyn_a_s), ba, trash)
+        bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash)
         if ang2d:
             v1a, i1a = v1a[:, None], i1a[:, None]
             v2a, i2a = v2a[:, None], i2a[:, None]
         d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
         d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
-        packed = packed.at[ba_sel].add(d1, mode="drop")
-        packed = packed.at[bb_sel].add(d2, mode="drop")
+        packed = packed.at[ba_sel].add(d1, mode="promise_in_bounds",
+                                       unique_indices=True)
+        packed = packed.at[bb_sel].add(d2, mode="promise_in_bounds",
+                                       unique_indices=True)
         return packed, n_imp, t_imp
 
     packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
         1, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
+    packed = packed[:n_bodies]
     ang_out = packed[:, dim:]
     if ang2d:
         ang_out = ang_out[:, 0]
@@ -583,6 +658,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         layout = build_color_layout(colors, cons.valid,
                                     max_colors=max_colors, cmax=cmax)
         csr = None
+        ws_sides = build_sorted_sides(cons, n)
 
     if joints is not None:
         from wgmath_tpu.dynamics.joint import (
@@ -601,7 +677,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             # full rebuild per substep (≙ joint builder `update` kernel)
             jcons = build_joint_constraints(joints, poses, mprops, sub)
         if not use_jacobi:
-            vels = warmstart_apply(cons, vels)
+            vels = warmstart_apply_sorted(cons, vels, ws_sides)
             order_padded = layout[0]
             sorted_cons = sort_solver_fields(cons, order_padded)
             c_cap = cons.body_a.shape[0]

@@ -74,6 +74,9 @@ class PipelineConfig:
     gs_cmax: int = 0  # >0: per-color GS window (host-grown on overflow)
     mesh_pair_capacity: int = 512
     mesh_k_best: int = 4
+    bp_algo: str = "auto"  # "grid" | "brute" | "auto" (grid when n >= 1024)
+    bp_cell_cap: int = 8  # grid: max occupants read per cell (host-grown)
+    bp_global_cap: int = 64  # grid: dense side list for oversized AABBs
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -104,11 +107,24 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
 
     radii = (ball_radii_or_nan(state.shapes, bodies.poses)
              if BALL in state.shapes.kinds else None)
-    pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
-                       block=config.broad_phase_block,
-                       max_per_row=config.broad_phase_max_per_row,
-                       ball_radius=radii,
-                       margin=params.prediction_distance)
+    n_bodies = mins.shape[0]
+    use_grid = config.bp_algo == "grid" or (config.bp_algo == "auto"
+                                            and n_bodies >= 1024)
+    if use_grid:
+        from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+        pairs = find_pairs_grid(mins, maxs, capacity=config.pair_capacity,
+                                max_per_body=config.broad_phase_max_per_row,
+                                cell_cap=config.bp_cell_cap,
+                                global_cap=config.bp_global_cap,
+                                ball_radius=radii,
+                                margin=params.prediction_distance)
+    else:
+        pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
+                           block=config.broad_phase_block,
+                           max_per_row=config.broad_phase_max_per_row,
+                           ball_radius=radii,
+                           margin=params.prediction_distance)
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance,
                             sat_capacity=config.sat_pair_capacity,
@@ -210,8 +226,10 @@ def step_checked(state: PhysicsState, params: SimParams,
     new = step(state, params, config, warmstart=not first_frame)
     counts = np.asarray(new.pair_count)
     regrow = {}
-    if int(counts[0]) < 0:  # broad-phase row overflow → widen the row budget
+    if int(counts[0]) < 0:  # broad-phase budget overflow → widen budgets
         regrow["broad_phase_max_per_row"] = config.broad_phase_max_per_row * 2
+        regrow["bp_cell_cap"] = config.bp_cell_cap * 2
+        regrow["bp_global_cap"] = config.bp_global_cap * 2
         counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
