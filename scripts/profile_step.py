@@ -124,7 +124,32 @@ def main():
             return acc
         return f
 
-    phase("bp", make_bp, (poses,))
+    phase("bp_brute", make_bp, (poses,))
+
+    from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+    def make_bp_grid(k):
+        @jax.jit
+        def f(poses):
+            def body(i, carry):
+                tr, acc = carry
+                mn, mx = world_aabbs(shapes, poses, margin=params.prediction_distance)
+                r = ball_radii_or_nan(shapes, poses)
+                p = find_pairs_grid(mn + acc * 0, mx,
+                                    capacity=config.pair_capacity,
+                                    max_per_body=config.broad_phase_max_per_row,
+                                    cell_cap=config.bp_cell_cap,
+                                    global_cap=config.bp_global_cap,
+                                    ball_radius=r,
+                                    margin=params.prediction_distance)
+                acc = (acc + p.count.astype(jnp.float32)
+                       + jnp.sum(p.body_a + p.body_b).astype(jnp.float32) * 1e-9)
+                return tr, acc
+            _, acc = jax.lax.fori_loop(0, k, body, (poses.translation, 0.0))
+            return acc
+        return f
+
+    phase("bp_grid", make_bp_grid, (poses,))
 
     # --- narrow phase (fixed pairs)
     def make_np(k):
@@ -166,7 +191,7 @@ def main():
             def f(bodies, mprops, contacts, prev):
                 def body(i, carry):
                     acc, vel = carry
-                    po, ve, cons, mc = solve(
+                    po, ve, cons, mc, _col = solve(
                         bodies, mprops,
                         dataclasses.replace(contacts,
                                             dist=contacts.dist + acc * 0),

@@ -373,6 +373,31 @@ def update_constraints(cons: ContactConstraints, poses: Sim,
     )
 
 
+def update_rhs_sorted(ss, poses: Sim, params: SimParams):
+    """``update_constraints``'s rhs relinearization over color-sorted field
+    views (a namespace with body_a/b, dir_a, tangent_a, local_pt_a/b,
+    info_dist, info_normal_vel, t_rhs_wo_bias). Lets the TGS substep loop
+    keep every constraint array in sorted space — the full-field re-sort per
+    substep disappears (solver.wgsl update_constraints:103-170 parity)."""
+    pose1 = _take_sim(poses, ss.body_a)
+    pose2 = _take_sim(poses, ss.body_b)
+    inv_dt = params.inv_dt
+    p1 = sim_ops.mul_pt(Sim(pose1.rotation[:, None], pose1.translation[:, None],
+                            pose1.scale[:, None]), ss.local_pt_a)
+    p2 = sim_ops.mul_pt(Sim(pose2.rotation[:, None], pose2.translation[:, None],
+                            pose2.scale[:, None]), ss.local_pt_b)
+    dist = ss.info_dist + jnp.sum((p1 - p2) * ss.dir_a[:, None, :], axis=-1)
+    rhs_wo_bias = ss.info_normal_vel + jnp.maximum(dist, 0.0) * inv_dt
+    rhs_bias = jnp.clip((dist + params.allowed_linear_error)
+                        * params.contact_erp_inv_dt,
+                        -params.max_corrective_velocity, 0.0)
+    n_rhs = rhs_wo_bias + rhs_bias
+    drift = p1 - p2
+    t_bias = jnp.einsum("cpd,csd->cps", drift, ss.tangent_a) * inv_dt
+    t_rhs = ss.t_rhs_wo_bias + t_bias
+    return n_rhs, rhs_wo_bias, t_rhs
+
+
 def remove_cfm_and_bias(cons: ContactConstraints) -> ContactConstraints:
     """≙ solver.wgsl remove_cfm_and_bias:688-699."""
     return dataclasses.replace(

@@ -50,6 +50,7 @@ from wgmath_tpu.dynamics.constraint import (
     remove_cfm_and_bias,
     sub_len,
     update_constraints,
+    update_rhs_sorted,
 )
 from wgmath_tpu.dynamics.sim_params import SimParams
 
@@ -319,6 +320,60 @@ def warmstart_apply(cons: ContactConstraints, vels: Velocity) -> Velocity:
     return Velocity(lin, ang)
 
 
+def _build_sides(body_a, body_b, dyn_a, dyn_b, valid, n: int):
+    side_valid = jnp.concatenate([valid & dyn_a, valid & dyn_b])
+    side_bodies = jnp.concatenate([body_a, body_b])
+    key = jnp.where(side_valid, side_bodies, n).astype(jnp.int32)
+    order = jnp.argsort(key).astype(jnp.int32)
+    sorted_keys = key[order]
+    bodies_idx = jnp.arange(n, dtype=jnp.int32)
+    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left")
+    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right")
+    return order, left.astype(jnp.int32), right.astype(jnp.int32)
+
+
+def _ws_deltas(ns, n_imp, t_imp, mask, p_max):
+    """Per-side warmstart velocity deltas [2M, dim(+adim)] from impulse
+    accumulators (shared by the sorted- and unsorted-space warmstarts)."""
+    d1l = jnp.zeros_like(ns.dir_a)
+    d2l = jnp.zeros_like(ns.dir_a)
+    d1a = jnp.zeros_like(ns.n_torque_a[:, 0])
+    d2a = jnp.zeros_like(d1a)
+    for k in range(p_max):
+        imp = jnp.where(mask & (k < ns.num_points), n_imp[:, k], 0.0)
+        d1l += ns.dir_a * (ns.im_a * imp[:, None])
+        d1a += _scale_ang(ns.n_ii_torque_a[:, k], imp)
+        d2l -= ns.dir_a * (ns.im_b * imp[:, None])
+        d2a += _scale_ang(ns.n_ii_torque_b[:, k], imp)
+        for j in range(ns.tangent_a.shape[-2]):
+            timp = jnp.where(mask & (k < ns.num_points), t_imp[:, k, j], 0.0)
+            tj = ns.tangent_a[:, j]
+            d1l += tj * (ns.im_a * timp[:, None])
+            d1a += _scale_ang(ns.t_ii_torque_a[:, k, j], timp)
+            d2l -= tj * (ns.im_b * timp[:, None])
+            d2a += _scale_ang(ns.t_ii_torque_b[:, k, j], timp)
+    ang2d = d1a.ndim == 1
+    da = jnp.concatenate([d1a, d2a])
+    if ang2d:
+        da = da[:, None]
+    return jnp.concatenate([jnp.concatenate([d1l, d2l]), da], axis=-1)
+
+
+def _ws_apply(vels: Velocity, packed, sides) -> Velocity:
+    """Segment-difference application of per-side deltas (no scatters)."""
+    order, left, right = sides
+    dim = vels.linear.shape[-1]
+    packed = packed[order]
+    cs = jnp.concatenate([jnp.zeros((1, packed.shape[1]), packed.dtype),
+                          jnp.cumsum(packed, axis=0)])
+    seg = cs[right] - cs[left]
+    lin = vels.linear + seg[:, :dim]
+    ang_d = seg[:, dim:]
+    ang2d = vels.angular.ndim == 1
+    ang = vels.angular + (ang_d[:, 0] if ang2d else ang_d)
+    return Velocity(lin, ang)
+
+
 def build_sorted_sides(cons: ContactConstraints, n: int):
     """Per-frame prep for ``warmstart_apply_sorted``: order the 2C constraint
     sides by body index and precompute each body's [left, right) segment.
@@ -439,7 +494,8 @@ def build_color_layout(colors: jax.Array, valid: jax.Array, *,
 
 
 _SORT_FIELDS = _VIEW_FIELDS + ("body_a", "body_b", "n_rhs_wo_bias",
-                               "t_rhs_wo_bias")
+                               "t_rhs_wo_bias", "valid", "local_pt_a",
+                               "local_pt_b", "info_dist", "info_normal_vel")
 
 
 def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
@@ -454,6 +510,7 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
     ns = {f: getattr(cons, f)[idx] for f in _SORT_FIELDS}
     # deactivate padding slots via num_points = 0
     ns["num_points"] = jnp.where(pad_invalid, 0, ns["num_points"])
+    ns["valid"] = jnp.where(pad_invalid, False, ns["valid"])
     return SimpleNamespace(**ns)
 
 
@@ -612,12 +669,21 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           params: SimParams, *, use_jacobi: bool = False,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
-          joints=None, gs_cmax: int = 0):
+          joints=None, gs_cmax: int = 0, prev_colors=None):
     """Run the complete constraint solve for one frame; returns
-    ``(new_poses, new_vels, constraints)``. One jit-traceable program.
+    ``(new_poses, new_vels, constraints, max_class, colors)``. One
+    jit-traceable program.
 
     Sequence ≙ solver.rs:238-460 with the substep dt convention of
     pipeline.rs:266 (device dt = frame dt / num_solver_iterations).
+
+    ``prev_colors``: last frame's coloring. When the constraint pair keys
+    are bitwise-identical to ``warmstart_from``'s (the common settled-scene
+    case — BP and narrow phase are deterministic and order-stable), the
+    coloring is reused via ``lax.cond`` instead of re-run; the contact graph
+    is unchanged so the old independent sets are still exact. The reference
+    recolors every frame (coloring.rs) because its readback-driven loop
+    cannot cheaply test set equality on device.
     """
     dim = bodies.dim
     sub = params.substep().with_dim(dim)
@@ -647,7 +713,24 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         num_colors = None
         cmax = 0
     else:
-        colors = color_constraints(cons, n, max_colors=max_colors)
+        reuse_ok = (prev_colors is not None and warmstart_from is not None
+                    and prev_colors.shape == cons.body_a.shape
+                    and warmstart_from.body_a.shape == cons.body_a.shape)
+        if reuse_ok:
+            def _keys(ba, bb, valid):
+                k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32)
+                                                     & 0xFFFF)
+                return jnp.where(valid, k, jnp.uint32(0xFFFFFFFF))
+
+            same = jnp.all(
+                _keys(cons.body_a, cons.body_b, cons.valid)
+                == _keys(warmstart_from.body_a, warmstart_from.body_b,
+                         warmstart_from.valid))
+            colors = jax.lax.cond(
+                same, lambda: prev_colors,
+                lambda: color_constraints(cons, n, max_colors=max_colors))
+        else:
+            colors = color_constraints(cons, n, max_colors=max_colors)
         num_colors = jnp.minimum(jnp.max(jnp.where(cons.valid, colors, 0)),
                                  max_colors)
         # a color class holds ≤ one constraint per dynamic body; gs_cmax
@@ -658,7 +741,16 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         layout = build_color_layout(colors, cons.valid,
                                     max_colors=max_colors, cmax=cmax)
         csr = None
-        ws_sides = build_sorted_sides(cons, n)
+        # everything below lives in color-sorted space for the whole solve:
+        # fields sorted once, impulses carried sorted, unsorted once at end
+        order_padded = layout[0]
+        ss = sort_solver_fields(cons, order_padded)
+        c_cap = cons.body_a.shape[0]
+        idx_s0 = jnp.minimum(order_padded, c_cap - 1)
+        dyn_a_s = jnp.any(ss.im_a != 0.0, axis=-1)
+        dyn_b_s = jnp.any(ss.im_b != 0.0, axis=-1)
+        ws_sides = _build_sides(ss.body_a, ss.body_b, dyn_a_s, dyn_b_s,
+                                ss.valid, n)
 
     if joints is not None:
         from wgmath_tpu.dynamics.joint import (
@@ -669,68 +761,89 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
 
     dim_ = dim
 
-    def substep(_, carry):
-        vels, poses, cons = carry
+    import types as _types
+
+    def substep_gs(_, carry):
+        vels, poses, n_imp_s, t_imp_s = carry
         vels = Velocity(vels.linear + inc, vels.angular)
-        cons = update_constraints(cons, poses, sub)
+        # relinearize rhs + rescale impulses entirely in sorted space
+        # (≙ update_constraints, solver.wgsl:103-170)
+        n_rhs, n_rhs_wo_bias, t_rhs = update_rhs_sorted(ss, poses, sub)
+        n_imp_s = n_imp_s * sub.warmstart_coefficient
+        t_imp_s = t_imp_s * sub.warmstart_coefficient
+        sorted_cons = _types.SimpleNamespace(**vars(ss))
+        sorted_cons.n_rhs = n_rhs
+        sorted_cons.n_rhs_wo_bias = n_rhs_wo_bias
+        sorted_cons.t_rhs = t_rhs
+        sorted_cons.cfm_factor = jnp.full_like(ss.cfm_factor,
+                                               sub.contact_cfm_factor)
         if joints is not None:
-            # full rebuild per substep (≙ joint builder `update` kernel)
             jcons = build_joint_constraints(joints, poses, mprops, sub)
-        if not use_jacobi:
-            vels = warmstart_apply_sorted(cons, vels, ws_sides)
-            order_padded = layout[0]
-            sorted_cons = sort_solver_fields(cons, order_padded)
-            c_cap = cons.body_a.shape[0]
-            idx_s = jnp.minimum(order_padded, c_cap - 1)
-            n_imp_s = cons.n_impulse[idx_s]
-            t_imp_s = cons.t_impulse[idx_s]
+        deltas = _ws_deltas(ss, n_imp_s, t_imp_s, ss.valid,
+                            n_imp_s.shape[1])
+        vels = _ws_apply(vels, deltas, ws_sides)
         if joints is not None:
             vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
                                         max_colors=max_colors)
-        if not use_jacobi:
-            vels, n_imp_s, t_imp_s = gs_color_major_pass(
-                sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
-                cmax=cmax, dim=dim_)
-        else:
-            vels, cons = jacobi_pass(cons, vels, csr,
-                                     max_per_body=max_per_body)
+        vels, n_imp_s, t_imp_s = gs_color_major_pass(
+            sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
+            cmax=cmax, dim=dim_)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
         if joints is not None:
             jcons = remove_joint_bias(jcons)
             vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
                                         max_colors=max_colors)
-        if use_jacobi:
-            cons = remove_cfm_and_bias(cons)
-        if not use_jacobi:
-            # unbiased sweep reuses the sorted fields with rhs := rhs_wo_bias
-            import types as _types
+        unbiased = _types.SimpleNamespace(**vars(sorted_cons))
+        unbiased.n_rhs = sorted_cons.n_rhs_wo_bias
+        unbiased.t_rhs = sorted_cons.t_rhs_wo_bias
+        unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
+        vels, n_imp_s, t_imp_s = gs_color_major_pass(
+            unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
+            cmax=cmax, dim=dim_)
+        return vels, poses, n_imp_s, t_imp_s
 
-            unbiased = _types.SimpleNamespace(**vars(sorted_cons))
-            unbiased.n_rhs = sorted_cons.n_rhs_wo_bias
-            unbiased.t_rhs = sorted_cons.t_rhs_wo_bias
-            unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
-            vels, n_imp_s, t_imp_s = gs_color_major_pass(
-                unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
-                cmax=cmax, dim=dim_)
-            # unsort impulses back into constraint storage (warmstart source)
-            sel = jnp.where(order_padded < c_cap, order_padded, c_cap)
-            n_imp = cons.n_impulse.at[sel].set(n_imp_s, mode="drop")
-            t_imp = cons.t_impulse.at[sel].set(t_imp_s, mode="drop")
-            cons = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
-        else:
-            vels, cons = jacobi_pass(cons, vels, csr,
-                                     max_per_body=max_per_body)
+    def substep_jacobi(_, carry):
+        vels, poses, cons = carry
+        vels = Velocity(vels.linear + inc, vels.angular)
+        cons = update_constraints(cons, poses, sub)
+        if joints is not None:
+            jcons = build_joint_constraints(joints, poses, mprops, sub)
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
+        vels, cons = jacobi_pass(cons, vels, csr, max_per_body=max_per_body)
+        poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
+        if joints is not None:
+            jcons = remove_joint_bias(jcons)
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
+        cons = remove_cfm_and_bias(cons)
+        vels, cons = jacobi_pass(cons, vels, csr, max_per_body=max_per_body)
         return vels, poses, cons
 
-    vels, poses, cons = jax.lax.fori_loop(
-        0, params.num_solver_iterations, substep, (vels, bodies.poses, cons))
+    if use_jacobi:
+        vels, poses, cons = jax.lax.fori_loop(
+            0, params.num_solver_iterations, substep_jacobi,
+            (vels, bodies.poses, cons))
+    else:
+        n_imp_s = cons.n_impulse[idx_s0]
+        t_imp_s = cons.t_impulse[idx_s0]
+        vels, poses, n_imp_s, t_imp_s = jax.lax.fori_loop(
+            0, params.num_solver_iterations, substep_gs,
+            (vels, bodies.poses, n_imp_s, t_imp_s))
+        # unsort impulses once (next frame's warmstart source)
+        sel = jnp.where(order_padded < c_cap, order_padded, c_cap)
+        n_imp = cons.n_impulse.at[sel].set(n_imp_s, mode="drop")
+        t_imp = cons.t_impulse.at[sel].set(t_imp_s, mode="drop")
+        cons = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
     # largest color-class size (0 when jacobi): host grows gs_cmax on overflow
     if use_jacobi:
         max_class = jnp.int32(0)
+        colors_out = jnp.zeros_like(cons.body_a)
     else:
         _, _, class_counts = layout
         max_class = jnp.max(class_counts[1:max_colors + 1])
-    return poses, vels, cons, max_class
+        colors_out = colors
+    return poses, vels, cons, max_class, colors_out
 
 
 def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,

@@ -48,10 +48,11 @@ class PhysicsState:
     prev_constraints: ContactConstraints | None
     pair_count: jax.Array  # i32 [3] — [pairs, contacts, max GS color class]
     joints: Any = None  # JointSet | None
+    prev_colors: Any = None  # i32 [C] — last frame's constraint coloring
 
     def tree_flatten(self):
         return (self.bodies, self.shapes, self.prev_constraints,
-                self.pair_count, self.joints), None
+                self.pair_count, self.joints, self.prev_colors), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -185,7 +186,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
 
     prev = state.prev_constraints if warmstart else None
-    poses, vels, cons, max_class = solve(
+    poses, vels, cons, max_class, colors = solve(
         bodies, mprops, contacts, params,
         use_jacobi=config.use_jacobi,
         max_colors=config.max_colors,
@@ -193,11 +194,12 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         warmstart_from=prev,
         joints=state.joints,
         gs_cmax=config.gs_cmax,
+        prev_colors=state.prev_colors if warmstart else None,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.stack([pairs.count, contact_count, max_class])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
-                        state.joints)
+                        state.joints, colors)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "n_steps"))
