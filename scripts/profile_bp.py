@@ -18,7 +18,10 @@ from wgmath_tpu.shapes.shape import ball_radii_or_nan, world_aabbs  # noqa: E402
 
 
 def main():
+    import dataclasses
+
     state, params, config = settled_state()
+
     shapes = state.shapes
     poses = state.bodies.poses
 

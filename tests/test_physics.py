@@ -421,7 +421,7 @@ def test_grid_broad_phase_matches_brute():
         bf = find_pairs(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
                         max_per_row=128)
         gr = find_pairs_grid(jnp.asarray(mins), jnp.asarray(maxs),
-                             capacity=4096, max_per_body=128, cell_cap=32)
+                             capacity=4096, max_per_body=128, cell_cap=32, cand_budget=256)
         def pair_set(p):
             a = np.asarray(p.body_a)[np.asarray(p.valid)]
             b = np.asarray(p.body_b)[np.asarray(p.valid)]
@@ -447,7 +447,7 @@ def test_grid_broad_phase_ball_prefilter():
     bf = find_pairs(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
                     max_per_row=128, ball_radius=jnp.asarray(rad), margin=0.1)
     gr = find_pairs_grid(jnp.asarray(mins), jnp.asarray(maxs), capacity=4096,
-                         max_per_body=128, cell_cap=64,
+                         max_per_body=128, cell_cap=64, cand_budget=512,
                          ball_radius=jnp.asarray(rad), margin=0.1)
     def pair_set(p):
         a = np.asarray(p.body_a)[np.asarray(p.valid)]

@@ -77,7 +77,8 @@ class PipelineConfig:
     mesh_k_best: int = 4
     bp_algo: str = "auto"  # "grid" | "brute" | "auto" (grid when n >= 1024)
     bp_cell_cap: int = 8  # grid: max occupants read per cell (host-grown)
-    bp_global_cap: int = 64  # grid: dense side list for oversized AABBs
+    bp_global_cap: int = 16  # grid: dense side list for oversized AABBs
+    bp_cand_budget: int = 48  # grid: pre-compaction candidates per body
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -118,6 +119,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                                 max_per_body=config.broad_phase_max_per_row,
                                 cell_cap=config.bp_cell_cap,
                                 global_cap=config.bp_global_cap,
+                                cand_budget=config.bp_cand_budget,
                                 ball_radius=radii,
                                 margin=params.prediction_distance)
     else:
@@ -232,6 +234,7 @@ def step_checked(state: PhysicsState, params: SimParams,
         regrow["broad_phase_max_per_row"] = config.broad_phase_max_per_row * 2
         regrow["bp_cell_cap"] = config.bp_cell_cap * 2
         regrow["bp_global_cap"] = config.bp_global_cap * 2
+        regrow["bp_cand_budget"] = config.bp_cand_budget * 2
         counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))

@@ -200,7 +200,10 @@ def world_aabbs(shapes: ShapeSet, poses: Sim, *, margin: float = 0.0):
         from wgmath_tpu.geometry import rot2
 
         rmat = jnp.abs(rot2.to_matrix(poses.rotation))
-    world_he = jnp.einsum("nij,nj->ni", rmat, he) + margin
+    world_he = jnp.einsum("nij,nj->ni", rmat, he)
+    # balls are rotation-invariant: |R|·(r,r,r) would inflate the box by up
+    # to √3 once bodies tumble (and with it every broad-phase budget)
+    world_he = jnp.where((shapes.tag == BALL)[:, None], he, world_he) + margin
     center = poses.translation
     return center - world_he, center + world_he
 
