@@ -51,6 +51,9 @@ def settled_state():
                else int(v) for k, v in cfg.items()}
         config = PipelineConfig(**cfg)
         bench._log(f"loaded settled state from {CKPT}")
+        if getattr(state, "prev_colors", None) is None:
+            # old checkpoints predate the prev_colors field
+            state, config = step_checked(state, params, config)
         return state, params, config
     from wgmath_tpu.scenes.builders import balls
 

@@ -20,3 +20,10 @@ import jax  # noqa: E402
 # init so tests never contend for the single tunneled TPU chip.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: CPU-XLA compiles dominate suite wall time; repeat
+# runs (and xdist workers) reuse compiled executables across processes
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

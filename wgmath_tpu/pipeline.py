@@ -211,8 +211,9 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     amortizes dispatch overhead for serving/benchmark loops. Requires a
     warmed state (prev_constraints present) so the carry structure is fixed.
     """
-    if state.prev_constraints is None:
-        state = step(state, params, config, warmstart=False)
+    if state.prev_constraints is None or state.prev_colors is None:
+        state = step(state, params, config,
+                     warmstart=state.prev_constraints is not None)
 
     def body(s, _):
         return step(s, params, config, warmstart=True), None
