@@ -50,12 +50,13 @@ def _pick_tiles(m: int, n: int, k: int, itemsize: int):
     """VMEM-budgeted tile sizes, multiples of the MXU edge.
 
     Autotuned on v5e (see BENCH_NOTES.md): bf16 peaks at (512, 2048, 512) —
-    196.6 TF/s ≈ 99.8% of the 197 TF MXU peak at 4096²; f32 peaks at
-    (512, 1024, 512) — wider N tiles exceed VMEM at 4-byte elements.
+    196.6 TF/s ≈ 99.8% of the 197 TF MXU peak at 4096²; f32 uses
+    (512, 1024, 256) — the K=512 variant exceeds the 16 MB scoped-VMEM
+    budget by 216 KB under the AOT compiler's accounting.
     """
     bm = min(m, 512)
     bn = min(n, 1024 if itemsize == 4 else 2048)
-    bk = min(k, 512)
+    bk = min(k, 256 if itemsize == 4 else 512)
     return bm, bn, bk
 
 
