@@ -455,3 +455,32 @@ def test_grid_broad_phase_ball_prefilter():
         return set(zip(a.tolist(), b.tolist()))
     assert pair_set(bf) == pair_set(gr)
     assert int(bf.count) == int(gr.count)
+
+
+def test_capsule_rests_2d():
+    """2D lying capsule rests on the ground at y = radius (embedded-3D GJK
+    narrow phase for 2D support-mapped pairs)."""
+    from wgmath_tpu.dynamics.body import capsule_local_mprops
+
+    params = SimParams()
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.asarray([[10.0, 1.0]])),
+        ShapeSet.capsules(jnp.asarray([0.4]), jnp.asarray([0.3]), dim=2))
+    # capsule lying flat (rotated 90°), dropped from 1.0
+    rot = jnp.asarray([[1.0, 0.0], [0.0, 1.0]], jnp.float32)
+    trans = jnp.asarray([[0.0, -1.0], [0.1, 1.0]], jnp.float32)
+    poses = sim_ops.from_parts(rot, trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray([[10.0, 1.0]]),
+                            dynamic=jnp.asarray([False])),
+        capsule_local_mprops(jnp.asarray([0.4]), jnp.asarray([0.3]), dim=2),
+    )
+    bodies = Bodies(poses, Velocity.zero(2, 2), mp)
+    state = new_state(bodies, shapes)
+    cfg = CFG
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    p = np.asarray(state.bodies.poses.translation[1])
+    v = np.asarray(state.bodies.vels.linear[1])
+    assert abs(p[1] - 0.3) < 0.05, p
+    assert np.linalg.norm(v) < 0.1, v

@@ -228,5 +228,46 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
             dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
             num_points = jnp.where(pfm, 1, num_points)
 
+    if dim == 2 and has_pfm_only:
+        # 2D support-mapped pairs (capsules): embed in 3D (rotation about z,
+        # boxes get a tall z-extent so no z-face can win) and reuse the 3D
+        # GJK machinery; deep-core pairs use the center-axis fallback (flat
+        # z=0 CSOs degenerate the 3D EPA polytope). ≙ wgparry2d pfm_pfm.
+        from wgmath_tpu.queries.gjk import pfm_contact
+
+        def embed(pose2, tag, par):
+            cth = pose2.rotation[..., 0]
+            sth = pose2.rotation[..., 1]
+            half = jnp.sqrt(jnp.maximum((1.0 + cth) * 0.5, 0.0))
+            sh = jnp.where(half > 1e-6, sth / jnp.maximum(2.0 * half, 1e-30),
+                           1.0)
+            q = jnp.stack([jnp.zeros_like(cth), jnp.zeros_like(cth),
+                           sh, half], -1)
+            t3 = jnp.pad(pose2.translation, ((0, 0), (0, 1)))
+            par3 = jnp.where((tag == shp.CUBOID)[:, None],
+                             par.at[:, 2].set(1e3), par)
+            return Sim(q, t3, pose2.scale), par3
+
+        pose_a3, par_a3 = embed(pose_a, tag_a, par_a)
+        pose_b3, par_b3 = embed(pose_b, tag_b, par_b)
+        handled = bb
+        handled |= (tag_a == shp.BALL) & (tag_b == shp.CUBOID)
+        handled |= (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
+        handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
+        supported = (tag_a <= shp.CAPSULE) & (tag_b <= shp.CAPSULE)
+        pfm = ~handled & supported & pairs.valid
+        n_p3, p_p3, d_p = pfm_contact(tag_a, par_a3, pose_a3,
+                                      tag_b, par_b3, pose_b3, mask=pfm,
+                                      vertices=None, use_epa=False)
+        n2 = n_p3[:, :2]
+        nn = jnp.linalg.norm(n2, axis=-1, keepdims=True)
+        n2 = jnp.where(nn > 1e-6, n2 / jnp.maximum(nn, 1e-30),
+                       jnp.zeros_like(n2).at[:, 1].set(1.0))
+        normal_a = jnp.where(pfm[:, None], n2, normal_a)
+        points_a = points_a.at[:, 0].set(
+            jnp.where(pfm[:, None], p_p3[:, :2], points_a[:, 0]))
+        dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
+        num_points = jnp.where(pfm, 1, num_points)
+
     valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
     return Contacts(a, b, normal_a, points_a, dist, num_points, valid)
