@@ -399,7 +399,29 @@ def joint_chain(links: int = 8, *, joint: str = "fixed") -> PhysicsState:
     return new_state(bodies, shapes, joints)
 
 
+def capsules2(n: int = 100) -> PhysicsState:
+    """2D capsules + balls raining on the ground (2D pfm narrow phase)."""
+    from wgmath_tpu.dynamics.body import capsule_local_mprops
+
+    rng = np.random.default_rng(13)
+    half = n // 2
+    hh, r = 0.3, 0.2
+    shapes = ShapeSet.concat(
+        ShapeSet.capsules(jnp.full((half,), hh), jnp.full((half,), r), dim=2),
+        ShapeSet.balls(jnp.full((n - half,), r), dim=2))
+    mp = _merge_mprops(
+        capsule_local_mprops(jnp.full((half,), hh), jnp.full((half,), r),
+                             dim=2),
+        ball_local_mprops(jnp.full((n - half,), r), dim=2))
+    pos = np.zeros((n, 2), np.float32)
+    pos[:, 0] = rng.uniform(-8, 8, n)
+    pos[:, 1] = rng.uniform(1.5, 10, n)
+    return _with_ground(shapes, jnp.asarray(pos), mp, dim=2,
+                        ground_he=(12.0, 1.0))
+
+
 SCENES.update({
+    "capsules2": capsules2,
     "primitives3": primitives3,
     "boxes_and_balls3": lambda: boxes_and_balls(400, dim=3),
     "boxes_and_balls2": lambda: boxes_and_balls(200, dim=2),
