@@ -27,3 +27,46 @@ _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# XLA CPU (jax 0.9) reliably SEGFAULTs/aborts when loading roughly the
+# ~118th compiled executable of a process — reproduced at whatever test hits
+# that count regardless of collection order, compile-vs-cache-read path, or
+# which test it is (each crasher passes standalone). Until the upstream bug
+# is fixed, a full-suite invocation transparently splits itself: the first
+# _SPLIT tests run in this process, the rest re-exec as a child pytest
+# (which recursively splits again if still too many).
+_SPLIT = 80
+
+
+def pytest_collection_modifyitems(config, items):
+    # heavyweight pipeline suites first (best -x fail-fast signal)
+    order = {"test_physics": 0, "test_scenes": 1, "test_parallel": 2,
+             "test_queries": 3, "test_joints": 4, "test_lbvh": 5}
+
+    def key(it):
+        fname = it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        return order.get(fname, 10)
+
+    items.sort(key=key)
+    if len(items) > _SPLIT:
+        config._wgmath_rest = [it.nodeid for it in items[_SPLIT:]]
+        del items[_SPLIT:]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    rest = getattr(session.config, "_wgmath_rest", None)
+    if not rest or exitstatus != 0:
+        return
+    import subprocess
+    import sys
+
+    args = [sys.executable, "-m", "pytest", "-q"]
+    for flag in ("-x",):
+        if session.config.getoption("exitfirst", False):
+            args.append(flag)
+    r = subprocess.run(args + rest,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    if r.returncode != 0:
+        session.exitstatus = r.returncode

@@ -32,8 +32,10 @@ from wgmath_tpu.geometry import (
 N = 345  # same sample count as the reference's sim tests
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same draws regardless of which
+    # tests ran before it (the suite self-splits across processes)
     return np.random.default_rng(7)
 
 

@@ -233,20 +233,28 @@ def svd(a: jax.Array):
         u_cols.append(jnp.where(good[..., None],
                                 col / jnp.where(good, sig, 1.0)[..., None],
                                 0.0))
+    # ``A·v/σ`` loses orthogonality as 1/σ for small singular values, so
+    # re-orthonormalize against the better-conditioned (larger-σ) columns:
+    # Gram-Schmidt col1 against col0, rebuild col2 as their cross product
+    # (sign-matched so the reconstruction keeps σ ≥ 0).
     if n == 3:
-        # rebuild degenerate columns by orthonormal completion
-        c2 = jnp.cross(u_cols[0], u_cols[1])
         bad1 = jnp.sum(u_cols[1] * u_cols[1], axis=-1) < 0.5
-        # if col1 degenerate, pick any unit vector ⟂ col0
         alt = _any_orthonormal(u_cols[0])
-        u_cols[1] = jnp.where(bad1[..., None], alt, u_cols[1])
+        c1 = jnp.where(bad1[..., None], alt, u_cols[1])
+        c1 = c1 - jnp.sum(c1 * u_cols[0], -1, keepdims=True) * u_cols[0]
+        c1n = jnp.linalg.norm(c1, axis=-1, keepdims=True)
+        u_cols[1] = jnp.where(c1n > 1e-6, c1 / jnp.maximum(c1n, 1e-30), alt)
         c2 = jnp.cross(u_cols[0], u_cols[1])
-        bad2 = jnp.sum(u_cols[2] * u_cols[2], axis=-1) < 0.5
-        u_cols[2] = jnp.where(bad2[..., None], c2, u_cols[2])
+        flip = jnp.sum(c2 * u_cols[2], axis=-1, keepdims=True) < 0.0
+        bad2 = (jnp.sum(u_cols[2] * u_cols[2], axis=-1, keepdims=True)
+                < 0.5)
+        u_cols[2] = jnp.where(flip & ~bad2, -c2, c2)
     else:
         perp = jnp.stack([-u_cols[0][..., 1], u_cols[0][..., 0]], axis=-1)
-        bad1 = jnp.sum(u_cols[1] * u_cols[1], axis=-1) < 0.5
-        u_cols[1] = jnp.where(bad1[..., None], perp, u_cols[1])
+        flip = jnp.sum(perp * u_cols[1], axis=-1, keepdims=True) < 0.0
+        bad1 = (jnp.sum(u_cols[1] * u_cols[1], axis=-1, keepdims=True)
+                < 0.5)
+        u_cols[1] = jnp.where(flip & ~bad1, -perp, perp)
     # fully-degenerate guard (a == 0): use identity
     zero = s[..., 0] < eps
     u = jnp.stack(u_cols, axis=-1)
