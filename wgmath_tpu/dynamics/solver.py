@@ -690,8 +690,40 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     n = bodies.num_bodies
 
     cons = build_constraints(bodies.poses, bodies.vels, mprops, contacts, params)
+    # contact-set stability predicate: when the (body_a, body_b, valid) keys
+    # are bitwise-identical to last frame's (the settled-scene common case),
+    # both the warmstart transfer (slotwise copy, no sort+match) and the
+    # graph coloring (reuse) collapse to trivial branches under lax.cond
+    same = None
+    if (warmstart_from is not None
+            and warmstart_from.body_a.shape == cons.body_a.shape):
+        def _keys(ba, bb, valid):
+            k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32)
+                                                 & 0xFFFF)
+            return jnp.where(valid, k, jnp.uint32(0xFFFFFFFF))
+
+        same = jnp.all(
+            _keys(cons.body_a, cons.body_b, cons.valid)
+            == _keys(warmstart_from.body_a, warmstart_from.body_b,
+                     warmstart_from.valid))
     if warmstart_from is not None:
-        cons = transfer_warmstart(cons, warmstart_from, params)
+        if same is not None:
+            ws = params.warmstart_coefficient
+
+            def _slotwise(c):
+                return dataclasses.replace(
+                    c,
+                    n_impulse=warmstart_from.n_impulse * ws,
+                    n_impulse_jacobi=warmstart_from.n_impulse_jacobi * ws,
+                    t_impulse=warmstart_from.t_impulse * ws,
+                    t_impulse_jacobi=warmstart_from.t_impulse_jacobi * ws)
+
+            cons = jax.lax.cond(
+                same, _slotwise,
+                lambda c: transfer_warmstart(c, warmstart_from, params),
+                cons)
+        else:
+            cons = transfer_warmstart(cons, warmstart_from, params)
 
     dynamic = bodies.is_dynamic()
     # cleanup (solver.wgsl:194-208): dynamic bodies start from their velocity
@@ -713,19 +745,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         num_colors = None
         cmax = 0
     else:
-        reuse_ok = (prev_colors is not None and warmstart_from is not None
-                    and prev_colors.shape == cons.body_a.shape
-                    and warmstart_from.body_a.shape == cons.body_a.shape)
-        if reuse_ok:
-            def _keys(ba, bb, valid):
-                k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32)
-                                                     & 0xFFFF)
-                return jnp.where(valid, k, jnp.uint32(0xFFFFFFFF))
-
-            same = jnp.all(
-                _keys(cons.body_a, cons.body_b, cons.valid)
-                == _keys(warmstart_from.body_a, warmstart_from.body_b,
-                         warmstart_from.valid))
+        if same is not None and prev_colors is not None \
+                and prev_colors.shape == cons.body_a.shape:
             colors = jax.lax.cond(
                 same, lambda: prev_colors,
                 lambda: color_constraints(cons, n, max_colors=max_colors))
