@@ -692,8 +692,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     cons = build_constraints(bodies.poses, bodies.vels, mprops, contacts, params)
     # contact-set stability predicate: when the (body_a, body_b, valid) keys
     # are bitwise-identical to last frame's (the settled-scene common case),
-    # both the warmstart transfer (slotwise copy, no sort+match) and the
-    # graph coloring (reuse) collapse to trivial branches under lax.cond
+    # the graph coloring is reused under lax.cond — colors depend only on
+    # the pair graph, which this predicate captures exactly
     same = None
     if (warmstart_from is not None
             and warmstart_from.body_a.shape == cons.body_a.shape):
@@ -707,23 +707,12 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             == _keys(warmstart_from.body_a, warmstart_from.body_b,
                      warmstart_from.valid))
     if warmstart_from is not None:
-        if same is not None:
-            ws = params.warmstart_coefficient
-
-            def _slotwise(c):
-                return dataclasses.replace(
-                    c,
-                    n_impulse=warmstart_from.n_impulse * ws,
-                    n_impulse_jacobi=warmstart_from.n_impulse_jacobi * ws,
-                    t_impulse=warmstart_from.t_impulse * ws,
-                    t_impulse_jacobi=warmstart_from.t_impulse_jacobi * ws)
-
-            cons = jax.lax.cond(
-                same, _slotwise,
-                lambda c: transfer_warmstart(c, warmstart_from, params),
-                cons)
-        else:
-            cons = transfer_warmstart(cons, warmstart_from, params)
+        # always match by pair key: even when the pair set is stable, mesh
+        # manifolds re-pick their K-best triangles per frame, so a slotwise
+        # impulse copy can pair an impulse with a different anchor (measured
+        # as residual jitter on trimesh resting tests); the sort+match costs
+        # ~1 ms and is robust
+        cons = transfer_warmstart(cons, warmstart_from, params)
 
     dynamic = bodies.is_dynamic()
     # cleanup (solver.wgsl:194-208): dynamic bodies start from their velocity
