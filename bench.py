@@ -245,14 +245,20 @@ def bench_physics(n_bodies=10_000, settle_frames=90):
     rests (capacity re-buckets as contacts appear), then steady-state steps
     are slope-timed — the honest hot path for benchmark config 5."""
     from wgmath_tpu.dynamics import SimParams
-    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.pipeline import (
+        PipelineConfig,
+        auto_manifold_points,
+        step,
+        step_checked,
+    )
     from wgmath_tpu.scenes.builders import balls
 
     params = SimParams()
-    config = PipelineConfig(pair_capacity=4096, contact_capacity=2048,
-                            max_colors=16, broad_phase_block=512,
-                            sat_pair_capacity=4096, gs_cmax=1024)
     state = balls(n_bodies, dim=3)
+    config = PipelineConfig(
+        pair_capacity=4096, contact_capacity=2048, max_colors=16,
+        broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
+        manifold_points=auto_manifold_points(state.shapes, 3))
     for f in range(settle_frames):
         state, config = step_checked(state, params, config)
         if f % 15 == 0:

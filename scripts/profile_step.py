@@ -34,21 +34,31 @@ from wgmath_tpu.pipeline import PipelineConfig, step, step_checked  # noqa: E402
 from wgmath_tpu.utils import checkpoint  # noqa: E402
 
 CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    ".settled_10k.pkl")
+                    ".settled_10k_v2.pkl")  # v2: width-1 manifolds + bp_slack
 
 
 def settled_state():
+    """Settled 10k-ball state under the bench's production config
+    (width-1 manifolds, slack-cached broad phase, balanced coloring)."""
+    from wgmath_tpu.scenes.builders import balls
+
     params = SimParams()
-    config = PipelineConfig(pair_capacity=4096, contact_capacity=2048,
-                            max_colors=16, broad_phase_block=512,
-                            sat_pair_capacity=4096, gs_cmax=1024)
+    state0 = balls(10_000, dim=3)
+    from wgmath_tpu.pipeline import auto_manifold_points
+
+    config = PipelineConfig(
+        pair_capacity=4096, contact_capacity=2048, max_colors=16,
+        broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
+        manifold_points=auto_manifold_points(state0.shapes, 3))
     if os.path.exists(CKPT) and "--resettle" not in sys.argv:
         blob = checkpoint.load(CKPT)
         state = blob["state"]
-        cfg = {k: (v.item() if hasattr(v, "item") else v)
-               for k, v in blob["config"].items()}
-        cfg = {k: bool(v) if isinstance(getattr(PipelineConfig, k), bool)
-               else int(v) for k, v in cfg.items()}
+        cfg = {}
+        for k, v in blob["config"].items():
+            v = v.item() if hasattr(v, "item") else v
+            default = getattr(PipelineConfig, k)
+            caster = type(default) if default is not None else (lambda x: x)
+            cfg[k] = caster(v)
         config = PipelineConfig(**cfg)
         bench._log(f"loaded settled state from {CKPT}")
         if getattr(state, "prev_colors", None) is None:

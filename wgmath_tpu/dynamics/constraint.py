@@ -225,7 +225,7 @@ def build_constraints(poses: Sim, vels: Velocity,
     Invalid manifold slots produce zero-impact constraints (masked ``valid``).
     """
     dim = contacts.dim
-    p_max = max_points(dim)
+    p_max = contacts.points_a.shape[1]  # manifold width (≤ max_points(dim))
     s_len = sub_len(dim)
     id1, id2 = contacts.body_a, contacts.body_b
     pose1 = _take_sim(poses, id1)

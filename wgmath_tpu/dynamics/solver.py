@@ -91,7 +91,8 @@ def build_body_constraint_csr(cons: ContactConstraints, num_bodies: int):
 
 
 def color_constraints(cons: ContactConstraints, num_bodies: int,
-                      *, max_colors: int = 32, claim_rounds: int = 2):
+                      *, max_colors: int = 32, claim_rounds: int = 2,
+                      class_cap: int = 0):
     """Assign colors 1..max_colors so same-color constraints share no dynamic
     body. Per color: constraints scatter-min their index into per-body slots;
     winners (owning both slots) take the color; repeated claim rounds densify.
@@ -104,6 +105,13 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
     fallback, coloring.rs:127-196, minus its per-color readbacks): random
     local minima select a large independent set per round; the low 16 bits
     carry the constraint index so priorities are unique.
+
+    ``class_cap`` > 0 balances class sizes: winners beyond the cap are
+    deferred to later colors. Unbalanced Luby claims front-load huge
+    independent sets (up to num_bodies/2), and the GS sweep's uniform
+    per-color window must cover the *largest* class — capping trades a
+    slightly longer color loop for a much tighter window (sweep work =
+    colors × window). The cap matches the ``gs_cmax`` window budget.
     """
     c = cons.body_a.shape[0]
     idx_bits = max(int(c - 1).bit_length(), 1)  # unique low bits per index
@@ -136,6 +144,16 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
             win_a = ~dyn_a | (slot[jnp.minimum(cons.body_a, num_bodies - 1)] == prio)
             win_b = ~dyn_b | (slot[jnp.minimum(cons.body_b, num_bodies - 1)] == prio)
             win = cand & win_a & win_b
+            if class_cap:
+                # defer winners beyond the class budget to later colors; the
+                # effective cap never drops below an even split over the
+                # remaining colors, so capping cannot create residue that an
+                # uncapped coloring would have avoided
+                already = jnp.sum((colors == color).astype(jnp.int32))
+                even = jnp.sum((cons.valid & (colors == 0)).astype(jnp.int32)
+                               ) // jnp.maximum(max_colors - color, 1) + 1
+                cap = jnp.maximum(jnp.int32(class_cap), even)
+                win &= (jnp.cumsum(win.astype(jnp.int32)) + already <= cap)
             colors = jnp.where(win, color, colors)
             win2 = jnp.concatenate([win, win]) & dyn2
             # winners form an independent set → their bodies are unique;
@@ -159,8 +177,13 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
 
     colors = jnp.zeros((c,), jnp.int32)
     _, colors = jax.lax.while_loop(cond, body, (jnp.int32(1), colors))
-    # residue → last color
-    colors = jnp.where(cons.valid & (colors == 0), max_colors, colors)
+    if not class_cap:
+        # legacy: residue → last color (solved scatter-add style; duplicates
+        # there lose updates — only reachable when chromatic > max_colors)
+        colors = jnp.where(cons.valid & (colors == 0), max_colors, colors)
+    # under class_cap, residue stays color 0: the layout parks it in an
+    # unswept segment and solve() signals overflow so the host regrows the
+    # window (a bigger cap ⇒ fewer colors ⇒ no residue next compile)
     return colors
 
 
@@ -738,9 +761,11 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 and prev_colors.shape == cons.body_a.shape:
             colors = jax.lax.cond(
                 same, lambda: prev_colors,
-                lambda: color_constraints(cons, n, max_colors=max_colors))
+                lambda: color_constraints(cons, n, max_colors=max_colors,
+                                          class_cap=gs_cmax))
         else:
-            colors = color_constraints(cons, n, max_colors=max_colors)
+            colors = color_constraints(cons, n, max_colors=max_colors,
+                                       class_cap=gs_cmax)
         num_colors = jnp.minimum(jnp.max(jnp.where(cons.valid, colors, 0)),
                                  max_colors)
         # a color class holds ≤ one constraint per dynamic body; gs_cmax
@@ -852,6 +877,11 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     else:
         _, _, class_counts = layout
         max_class = jnp.max(class_counts[1:max_colors + 1])
+        # uncolored residue (class_cap regime): segment 0 of the layout was
+        # skipped this frame — report it through max_class so the host
+        # regrows gs_cmax (bigger cap ⇒ fewer colors ⇒ residue vanishes)
+        max_class = max_class + jnp.where(class_counts[0] > 0,
+                                          cmax + class_counts[0], 0)
         colors_out = colors
     return poses, vels, cons, max_class, colors_out
 

@@ -49,10 +49,16 @@ class PhysicsState:
     pair_count: jax.Array  # i32 [3] — [pairs, contacts, max GS color class]
     joints: Any = None  # JointSet | None
     prev_colors: Any = None  # i32 [C] — last frame's constraint coloring
+    # broad-phase temporal-coherence cache (bp_slack > 0): last pair list +
+    # the slack-inflated AABBs it was built from. Pairs stay valid while
+    # every body's AABB remains inside its inflated reference box.
+    bp_pairs: Any = None  # PairList | None
+    bp_ref: Any = None  # (mins, maxs) | None
 
     def tree_flatten(self):
         return (self.bodies, self.shapes, self.prev_constraints,
-                self.pair_count, self.joints, self.prev_colors), None
+                self.pair_count, self.joints, self.prev_colors,
+                self.bp_pairs, self.bp_ref), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -79,12 +85,36 @@ class PipelineConfig:
     bp_cell_cap: int = 8  # grid: max occupants read per cell (host-grown)
     bp_global_cap: int = 16  # grid: dense side list for oversized AABBs
     bp_cand_budget: int = 48  # grid: pre-compaction candidates per body
+    manifold_points: int = 0  # 0 = max_points(dim); see auto_manifold_points
+    # >0: temporal-coherence broad phase. AABBs are inflated by this slack at
+    # BP time and the pair list is reused (lax.cond) until some body's AABB
+    # escapes its inflated box — exact, since the narrow phase re-tests every
+    # pair each frame and the sphere prefilter limit is widened to cover the
+    # worst-case drift. Settled scenes then pay the BP cost ~never.
+    bp_slack: float = 0.0
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
     from wgmath_tpu.shapes.shape import POLYLINE, TRIMESH
 
     return bool(shapes.kinds & {TRIMESH, POLYLINE})
+
+
+def auto_manifold_points(shapes: ShapeSet, dim: int) -> int:
+    """Narrowest safe manifold width for this scene (host-side: reads the
+    concrete shape tags). Only cuboid-cuboid SAT (3D/2D) and polyline-cuboid
+    (2D) clipping emit multi-point manifolds; every other kernel emits
+    one-point manifolds per slot, and all solver passes cost ∝ width —
+    a balls-over-one-ground-slab scene runs its whole solve 4× leaner at
+    width 1. Pass the result as ``PipelineConfig.manifold_points``."""
+    from wgmath_tpu.shapes.shape import CUBOID, POLYLINE
+
+    n_cuboids = int(np.sum(np.asarray(shapes.tag) == CUBOID))
+    if dim == 3:
+        return 4 if n_cuboids >= 2 else 1
+    if n_cuboids >= 2 or (n_cuboids >= 1 and POLYLINE in shapes.kinds):
+        return 2
+    return 1
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
@@ -112,26 +142,53 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     n_bodies = mins.shape[0]
     use_grid = config.bp_algo == "grid" or (config.bp_algo == "auto"
                                             and n_bodies >= 1024)
-    if use_grid:
-        from wgmath_tpu.broad_phase.grid import find_pairs_grid
+    slack = config.bp_slack
+    # the slack-widened sphere-prefilter limit covers the worst drift the
+    # AABB-containment check admits: each center moves ≤ slack per axis
+    sphere_margin = params.prediction_distance + (
+        2.0 * slack * float(np.sqrt(mins.shape[1])) if slack > 0 else 0.0)
 
-        pairs = find_pairs_grid(mins, maxs, capacity=config.pair_capacity,
-                                max_per_body=config.broad_phase_max_per_row,
-                                cell_cap=config.bp_cell_cap,
-                                global_cap=config.bp_global_cap,
-                                cand_budget=config.bp_cand_budget,
-                                ball_radius=radii,
-                                margin=params.prediction_distance)
+    def _run_bp(mn, mx):
+        if use_grid:
+            from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+            return find_pairs_grid(mn, mx, capacity=config.pair_capacity,
+                                   max_per_body=config.broad_phase_max_per_row,
+                                   cell_cap=config.bp_cell_cap,
+                                   global_cap=config.bp_global_cap,
+                                   cand_budget=config.bp_cand_budget,
+                                   ball_radius=radii, margin=sphere_margin)
+        return find_pairs(mn, mx, capacity=config.pair_capacity,
+                          block=config.broad_phase_block,
+                          max_per_row=config.broad_phase_max_per_row,
+                          ball_radius=radii, margin=sphere_margin)
+
+    cache_ok = (slack > 0 and state.bp_pairs is not None
+                and state.bp_ref is not None
+                and state.bp_pairs.body_a.shape[0] == config.pair_capacity)
+    if slack > 0:
+        if cache_ok:
+            inside = jnp.all((mins >= state.bp_ref[0])
+                             & (maxs <= state.bp_ref[1]))
+            # cached pairs stay a superset of true overlaps while every AABB
+            # remains inside its slack-inflated reference box
+            pairs, bp_ref = jax.lax.cond(
+                inside,
+                lambda: (state.bp_pairs, state.bp_ref),
+                lambda: (_run_bp(mins - slack, maxs + slack),
+                         (mins - slack, maxs + slack)))
+        else:
+            pairs = _run_bp(mins - slack, maxs + slack)
+            bp_ref = (mins - slack, maxs + slack)
     else:
-        pairs = find_pairs(mins, maxs, capacity=config.pair_capacity,
-                           block=config.broad_phase_block,
-                           max_per_row=config.broad_phase_max_per_row,
-                           ball_radius=radii,
-                           margin=params.prediction_distance)
+        pairs = _run_bp(mins, maxs)
+        bp_ref = None
+    p_max = config.manifold_points
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance,
                             sat_capacity=config.sat_pair_capacity,
-                            pfm_capacity=config.pfm_pair_capacity)
+                            pfm_capacity=config.pfm_pair_capacity,
+                            p_max=p_max)
     if _has_mesh(state.shapes):
         from wgmath_tpu.queries.mesh_contact import (
             concat_contacts,
@@ -147,7 +204,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 bodies.poses, state.shapes, pairs,
                 params.prediction_distance,
                 pair_cap=config.mesh_pair_capacity,
-                k_best=config.mesh_k_best)
+                k_best=config.mesh_k_best, p_max=p_max)
             contacts = concat_contacts(contacts, mesh_contacts)
         from wgmath_tpu.shapes.shape import POLYLINE, TRIMESH
 
@@ -156,7 +213,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 bodies.poses, state.shapes, pairs,
                 params.prediction_distance,
                 pair_cap=config.mesh_pair_capacity // 2,
-                k_best=config.mesh_k_best)
+                k_best=config.mesh_k_best, p_max=p_max)
             contacts = concat_contacts(contacts, cvx_contacts)
         if POLYLINE in state.shapes.kinds:
             from wgmath_tpu.queries.mesh_contact import polyline_ball_contacts
@@ -167,7 +224,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 pl_contacts = polyline_ball_contacts(
                     bodies.poses, state.shapes, pairs,
                     params.prediction_distance,
-                    pair_cap=config.mesh_pair_capacity // 2, k_best=2)
+                    pair_cap=config.mesh_pair_capacity // 2, k_best=2,
+                    p_max=p_max)
                 contacts = concat_contacts(contacts, pl_contacts)
             if _CUBOID in state.shapes.kinds:
                 from wgmath_tpu.queries.mesh_contact import (
@@ -188,6 +246,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
 
     prev = state.prev_constraints if warmstart else None
+    if prev is not None and prev.n_impulse.shape[1] != contacts.dist.shape[1]:
+        prev = None  # stale state from before a manifold-width change
     poses, vels, cons, max_class, colors = solve(
         bodies, mprops, contacts, params,
         use_jacobi=config.use_jacobi,
@@ -201,7 +261,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.stack([pairs.count, contact_count, max_class])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
-                        state.joints, colors)
+                        state.joints, colors,
+                        pairs if config.bp_slack > 0 else None, bp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "n_steps"))
@@ -211,7 +272,12 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     amortizes dispatch overhead for serving/benchmark loops. Requires a
     warmed state (prev_constraints present) so the carry structure is fixed.
     """
-    if state.prev_constraints is None or state.prev_colors is None:
+    needs_bp_cache = config.bp_slack > 0 and (
+        state.bp_pairs is None
+        or state.bp_pairs.body_a.shape[0] != config.pair_capacity)
+    if (state.prev_constraints is None or state.prev_colors is None
+            or needs_bp_cache or (config.bp_slack <= 0
+                                  and state.bp_pairs is not None)):
         state = step(state, params, config,
                      warmstart=state.prev_constraints is not None)
 
@@ -229,7 +295,7 @@ def step_checked(state: PhysicsState, params: SimParams,
     ``(state, config)`` — the possibly-enlarged config keys the jit cache."""
     first_frame = state.prev_constraints is None
     new = step(state, params, config, warmstart=not first_frame)
-    counts = np.asarray(new.pair_count)
+    counts = np.array(new.pair_count)  # writable copy (asarray is read-only)
     regrow = {}
     if int(counts[0]) < 0:  # broad-phase budget overflow → widen budgets
         regrow["broad_phase_max_per_row"] = config.broad_phase_max_per_row * 2

@@ -32,14 +32,14 @@ def _take_sim(poses: Sim, idx):
 
 def mesh_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                        prediction: float, *, pair_cap: int = 512,
-                       k_best: int = 4) -> Contacts:
+                       k_best: int = 4, p_max: int = 0) -> Contacts:
     """Contacts for (mesh, ball) pairs, K deepest triangles per pair.
 
     Returns a ``Contacts`` buffer of capacity ``pair_cap * k_best`` with the
     *ball* as body A (single-point manifolds on the ball's surface).
     """
     dim = poses.translation.shape[-1]
-    p_max = max_points(dim)
+    p_max = p_max or max_points(dim)
     tag_a = shapes.tag[pairs.body_a]
     tag_b = shapes.tag[pairs.body_b]
     is_mesh_a = (tag_a == shp.TRIMESH) & (tag_b == shp.BALL)
@@ -134,7 +134,7 @@ def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
 def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                          prediction: float, *, pair_cap: int = 256,
                          k_best: int = 4,
-                         tri_margin: float = 0.02) -> Contacts:
+                         tri_margin: float = 0.02, p_max: int = 0) -> Contacts:
     """Contacts for (mesh, support-mapped convex) pairs via per-triangle GJK
     (≙ trimesh_convex: per-triangle contact emission). Candidate triangles
     are the K nearest by centroid; each runs triangle-vs-convex GJK with the
@@ -146,7 +146,7 @@ def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     from wgmath_tpu.queries.gjk import pfm_contact
 
     dim = poses.translation.shape[-1]
-    p_max = max_points(dim)
+    p_max = p_max or max_points(dim)
     tag_a = shapes.tag[pairs.body_a]
     tag_b = shapes.tag[pairs.body_b]
 
@@ -235,13 +235,13 @@ def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
 
 def polyline_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                            prediction: float, *, pair_cap: int = 256,
-                           k_best: int = 2) -> Contacts:
+                           k_best: int = 2, p_max: int = 0) -> Contacts:
     """2D contacts for (polyline, ball) pairs: K nearest segments per pair
     (≙ narrow_phase.wgsl polyline_convex). Ball is body A."""
     from wgmath_tpu.queries.projection import project_segment
 
     dim = poses.translation.shape[-1]
-    p_max = max_points(dim)
+    p_max = p_max or max_points(dim)
     tag_a = shapes.tag[pairs.body_a]
     tag_b = shapes.tag[pairs.body_b]
     m_a = (tag_a == shp.POLYLINE) & (tag_b == shp.BALL)

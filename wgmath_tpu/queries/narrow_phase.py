@@ -99,14 +99,23 @@ def _compact_mask(mask, capacity):
 
 def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                  prediction_distance: float, *, sat_capacity: int = 0,
-                 pfm_capacity: int = 0) -> Contacts:
+                 pfm_capacity: int = 0, p_max: int = 0) -> Contacts:
     """Dispatch contact kernels over the pair list; one manifold per pair.
 
     ``sat_capacity``/``pfm_capacity`` > 0 compact the matching pairs into a
     bounded batch before running the expensive kernel (0 = dense evaluation
-    over every slot — right when most pairs are of that type)."""
+    over every slot — right when most pairs are of that type).
+
+    ``p_max`` (0 = ``max_points(dim)``) sets the manifold width. Every solver
+    pass costs ∝ width, but only cuboid-cuboid SAT clipping can emit more
+    than one point — scenes that cannot produce such a pair (e.g. balls over
+    a single ground cuboid) should pass ``p_max=1``
+    (``pipeline.auto_manifold_points`` derives the safe value from the shape
+    tags). ``p_max == 1`` asserts cuboid-cuboid pairs cannot occur and skips
+    the SAT kernel entirely; wider-but-truncated manifolds keep their
+    deepest ``p_max`` points."""
     dim = poses.translation.shape[-1]
-    p_max = max_points(dim)
+    p_max = p_max or max_points(dim)
     a, b = pairs.body_a, pairs.body_b
     pose_a = _take_sim(poses, a)
     pose_b = _take_sim(poses, b)
@@ -168,11 +177,20 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         num_points = jnp.where(m, 1, num_points)
 
     # --- cuboid vs cuboid (SAT + face clipping) -------------------------------
-    if has_cuboid:
+    if has_cuboid and p_max > 1:
         if dim == 3:
-            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold as _cc_fn
+            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold as _cc
         else:
-            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold_2d as _cc_fn
+            from wgmath_tpu.queries.sat import cuboid_cuboid_manifold_2d as _cc
+
+        def _cc_fn(*args):
+            n_l, pts_l, d_cc, np_cc = _cc(*args)
+            if p_max < d_cc.shape[1]:  # keep the p_max deepest points
+                neg_d, kidx = jax.lax.top_k(-d_cc, p_max)
+                d_cc = -neg_d
+                pts_l = jnp.take_along_axis(pts_l, kidx[..., None], axis=1)
+                np_cc = jnp.minimum(np_cc, p_max)
+            return n_l, pts_l, d_cc, np_cc
 
         cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID) & pairs.valid
         if sat_capacity:

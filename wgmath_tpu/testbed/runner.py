@@ -31,21 +31,30 @@ class BackendConfig:
     """≙ the testbed's backend selector (CPU / GPU × {TGS, Jacobi})."""
 
     solver: str = "tgs"  # "tgs" | "jacobi"
+    bp_slack: float = 0.0  # temporal-coherence broad phase (0 = off)
 
-    def pipeline_config(self, pair_capacity=16384) -> PipelineConfig:
+    def pipeline_config(self, pair_capacity=16384,
+                        manifold_points=0) -> PipelineConfig:
         return PipelineConfig(pair_capacity=pair_capacity,
-                              use_jacobi=self.solver == "jacobi")
+                              use_jacobi=self.solver == "jacobi",
+                              bp_slack=self.bp_slack,
+                              manifold_points=manifold_points)
 
 
 def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
-              dump_every: int = 0, verify: bool = False) -> RunStats:
+              dump_every: int = 0, verify: bool = False,
+              bp_slack: float = 0.0) -> RunStats:
     """Step a demo scene, printing per-phase stats (≙ Testbed::run loop +
     RunStats overlay)."""
     import jax
 
+    from wgmath_tpu.pipeline import auto_manifold_points
+
     state = SCENES[name]()
     params = SimParams.jacobi() if solver == "jacobi" else SimParams.tgs_soft()
-    config = BackendConfig(solver).pipeline_config()
+    dim = state.bodies.poses.translation.shape[-1]
+    config = BackendConfig(solver, bp_slack).pipeline_config(
+        manifold_points=auto_manifold_points(state.shapes, dim))
     stats = RunStats()
     timer = PhaseTimer(stats)
 
@@ -98,17 +107,41 @@ def main(argv=None) -> int:
     ap.add_argument("--verify", action="store_true",
                     help="per-frame NaN/constraint validation")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--bp-slack", type=float, default=0.0,
+                    help="broad-phase temporal-coherence slack (0 = off; "
+                         "pairs are cached until a body's AABB drifts past "
+                         "the slack — exact, narrow phase re-tests)")
+    ap.add_argument("--device", choices=["default", "cpu"], default="default",
+                    help="backend switch (≙ the reference testbed's CPU/GPU "
+                         "toggle): 'cpu' forces the CPU oracle backend even "
+                         "when an accelerator is attached")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        # env vars are overridden by the axon sitecustomize; the config call
+        # after import is authoritative (must run before backend init)
+        jax.config.update("jax_platforms", "cpu")
 
     if args.list:
         for name in SCENES:
             print(name)
         return 0
 
+    if args.bp_slack < 0:
+        ap.error(f"--bp-slack must be >= 0 (got {args.bp_slack}); negative "
+                 "slack would deflate the cached AABBs and miss pairs")
     names = list(SCENES) if args.run_all else [args.example or "balls3"]
+    unknown = [n for n in names if n not in SCENES]
+    if unknown:
+        print(f"unknown scene(s): {', '.join(unknown)}", file=sys.stderr)
+        print(f"available: {', '.join(SCENES)}", file=sys.stderr)
+        return 2
     for name in names:
         stats = run_scene(name, frames=args.frames, solver=args.solver,
-                          dump_every=args.dump_every, verify=args.verify)
+                          dump_every=args.dump_every, verify=args.verify,
+                          bp_slack=args.bp_slack)
         if args.json:
             print(json.dumps({"scene": name, "phase_ms": stats.phase_ms,
                               "counters": stats.counters}))

@@ -27,7 +27,14 @@ def save(path: str, state) -> None:
 def load(path: str):
     with open(path, "rb") as f:
         blob = pickle.load(f)
-    leaves = [jnp.asarray(blob["arrays"][f"leaf_{i}"])
+
+    def to_dev(x):
+        x = np.asarray(x)
+        if x.dtype.kind in "biufc":  # numeric → device array
+            return jnp.asarray(x)
+        return x.item() if x.ndim == 0 else x  # strings etc. stay host-side
+
+    leaves = [to_dev(blob["arrays"][f"leaf_{i}"])
               for i in range(len(blob["arrays"]))]
     return jax.tree.unflatten(blob["treedef"], leaves)
 
