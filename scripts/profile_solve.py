@@ -69,8 +69,8 @@ def main():
     bench._log(f"contacts={int(cnt)} capacity={contacts.capacity} "
                f"gs_cmax={config.gs_cmax} max_colors={config.max_colors}")
 
-    cons = jax.jit(build_constraints, static_argnames=())(
-        poses, bodies.vels, mprops, contacts, params)
+    cons = jax.jit(lambda p, v, m, c: build_constraints(p, v, m, c, params))(
+        poses, bodies.vels, mprops, contacts)
     cons = jax.block_until_ready(cons)
     colors = jax.jit(lambda c: S.color_constraints(
         c, n, max_colors=config.max_colors,

@@ -34,22 +34,24 @@ from wgmath_tpu.pipeline import PipelineConfig, step, step_checked  # noqa: E402
 from wgmath_tpu.utils import checkpoint  # noqa: E402
 
 CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    ".settled_10k_v2.pkl")  # v2: width-1 manifolds + bp_slack
+                    ".settled_10k_v3.pkl")  # v3: ball_pit scene
 
 
 def settled_state():
     """Settled 10k-ball state under the bench's production config
     (width-1 manifolds, slack-cached broad phase, balanced coloring)."""
-    from wgmath_tpu.scenes.builders import balls
+    from wgmath_tpu.scenes.builders import ball_pit
 
     params = SimParams()
-    state0 = balls(10_000, dim=3)
+    state0 = ball_pit(10_000)
     from wgmath_tpu.pipeline import auto_manifold_points
 
     config = PipelineConfig(
         pair_capacity=4096, contact_capacity=2048, max_colors=16,
         broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
-        manifold_points=auto_manifold_points(state0.shapes, 3))
+        bc_pair_capacity=4096,
+        manifold_points=auto_manifold_points(
+            state0.shapes, 3, dynamic=np.asarray(state0.bodies.is_dynamic())))
     if os.path.exists(CKPT) and "--resettle" not in sys.argv:
         blob = checkpoint.load(CKPT)
         state = blob["state"]
@@ -61,19 +63,23 @@ def settled_state():
             cfg[k] = caster(v)
         config = PipelineConfig(**cfg)
         bench._log(f"loaded settled state from {CKPT}")
-        if getattr(state, "prev_colors", None) is None:
-            # old checkpoints predate the prev_colors field
+        if (getattr(state, "prev_colors", None) is None
+                or (config.bp_slack > 0
+                    and getattr(state, "bp_colors", None) is None)):
+            # older checkpoints predate the prev_colors/bp_colors fields;
+            # one step materializes them so fori_loop carries are stable
             state, config = step_checked(state, params, config)
         return state, params, config
-    from wgmath_tpu.scenes.builders import balls
-
-    state = balls(10_000, dim=3)
-    for f in range(90):
+    state = state0
+    for f in range(900):
         state, config = step_checked(state, params, config)
         if f % 15 == 0:
+            maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
             bench._log(f"settle frame {f}, "
                        f"pairs={int(np.asarray(state.pair_count)[0])}, "
-                       f"cap={config.pair_capacity}")
+                       f"cap={config.pair_capacity}, maxvel={maxv:.2f}")
+            if f >= 150 and maxv < 0.05:
+                break
     checkpoint.save(CKPT, {"state": state,
                            "config": dataclasses.asdict(config)})
     return state, params, config

@@ -607,3 +607,93 @@ def test_coloring_class_cap_balances_and_stays_disjoint():
         assert len(idx) <= max(cap, c // 31 + 2)
         touched = np.concatenate([body_a[idx], body_b[idx]])
         assert len(np.unique(touched)) == len(touched), f"color {col} clash"
+
+
+def test_pair_graph_coloring_stays_disjoint_on_contacts():
+    """bp_slack + pair-graph coloring: the colors actually used by the GS
+    sweep (on the per-frame valid contacts) must keep same-color constraints
+    body-disjoint — the superset-coloring invariant."""
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    s = balls(96, dim=3)
+    cfg = PipelineConfig(pair_capacity=2048, max_colors=16, bp_slack=0.05,
+                         contact_capacity=1024, gs_cmax=128,
+                         manifold_points=1)
+    for f in range(45):  # settle into a contact-rich pile
+        s = step(s, params, cfg, warmstart=f > 0)
+        cons = s.prev_constraints
+        colors = np.asarray(s.prev_colors)
+        valid = np.asarray(cons.valid)
+        ba, bb = np.asarray(cons.body_a), np.asarray(cons.body_b)
+        dyn = np.asarray(s.bodies.is_dynamic())
+        for col in np.unique(colors[valid & (colors > 0)]):
+            sel = valid & (colors == col)
+            touched = np.concatenate([ba[sel][dyn[ba[sel]]],
+                                      bb[sel][dyn[bb[sel]]]])
+            assert len(np.unique(touched)) == len(touched), \
+                f"frame {f} color {col}: dynamic body shared"
+    assert int(np.asarray(s.pair_count)[1]) > 50  # contact-rich by now
+    tr = np.asarray(s.bodies.poses.translation)
+    assert np.isfinite(tr).all()
+
+
+def test_narrow_phase_bc_compaction_matches_dense():
+    """The compacted ball-cuboid pass (bc_capacity > 0) must produce the
+    same manifolds as the dense either-order pass — balls resting on / near
+    a ground slab + walls, some airborne, both pair orders present."""
+    from wgmath_tpu.queries.narrow_phase import narrow_phase
+    from wgmath_tpu.scenes.builders import ball_pit
+
+    params = SimParams()
+    s = ball_pit(64, depth=2)
+    cfg = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                         max_colors=16, gs_cmax=128, manifold_points=1)
+    for f in range(60):  # settle into ground/wall contact
+        s = step(s, params, cfg, warmstart=f > 0)
+    mins, maxs = world_aabbs(s.shapes, s.bodies.poses)
+    pairs = find_pairs(mins, maxs, capacity=2048, max_per_row=128)
+    dense = narrow_phase(s.bodies.poses, s.shapes, pairs, 0.05, p_max=1)
+    comp = narrow_phase(s.bodies.poses, s.shapes, pairs, 0.05, p_max=1,
+                        bc_capacity=256)
+    for f in ("normal_a", "points_a", "dist", "num_points", "valid"):
+        d, c = np.asarray(getattr(dense, f)), np.asarray(getattr(comp, f))
+        v = np.asarray(dense.valid)
+        np.testing.assert_allclose(d[v], c[v], rtol=1e-5, atol=1e-6,
+                                   err_msg=f)
+    np.testing.assert_array_equal(np.asarray(dense.valid),
+                                  np.asarray(comp.valid))
+    tags = np.asarray(s.shapes.tag)
+    ba = np.asarray(pairs.body_a)
+    bb = np.asarray(pairs.body_b)
+    assert (v & (tags[ba] != tags[bb])).sum() > 10  # mixed pairs exercised
+
+
+def test_ball_pit_settles_quiescent():
+    """ball_pit reaches a bounded, finite, contact-rich state (the bench's
+    steady-state regime) — nothing escapes the walls."""
+    from wgmath_tpu.pipeline import auto_manifold_points
+    from wgmath_tpu.scenes.builders import ball_pit
+
+    params = SimParams()
+    s = ball_pit(150, depth=3)
+    cfg = PipelineConfig(
+        pair_capacity=4096, contact_capacity=2048, max_colors=16,
+        gs_cmax=256, bp_slack=0.02, bc_pair_capacity=512,
+        manifold_points=auto_manifold_points(
+            s.shapes, 3, dynamic=np.asarray(s.bodies.is_dynamic())))
+    assert cfg.manifold_points == 1  # static-only cuboids -> width-1
+    dyn = np.asarray(s.bodies.is_dynamic())
+    maxv = np.inf
+    for f in range(400):  # ~6 s sim time: drop + spread + jam
+        s, cfg = step_checked(s, params, cfg)
+        if f % 20 == 19:
+            maxv = float(np.abs(np.asarray(s.bodies.vels.linear)[dyn]).max())
+            if f >= 99 and maxv < 0.2:
+                break
+    tr = np.asarray(s.bodies.poses.translation)
+    assert np.isfinite(tr).all()
+    r = 0.5
+    assert (tr[dyn, 1] > -r).all()  # nobody fell through the ground
+    assert int(np.asarray(s.pair_count)[1]) > 100  # contact-rich
+    assert maxv < 1.0  # jammed, not exploding

@@ -52,7 +52,8 @@ class PairList:
                    static_argnames=("capacity", "block", "max_per_row"))
 def find_pairs(mins: jax.Array, maxs: jax.Array, *, capacity: int,
                active=None, block: int = 256, max_per_row: int = 64,
-               ball_radius=None, margin: float = 0.0) -> PairList:
+               ball_radius=None, margin: float = 0.0,
+               dynamic=None) -> PairList:
     """All overlapping AABB pairs (i < j), compacted into ``capacity`` slots.
 
     ``ball_radius``: optional [N] array, NaN for non-ball colliders. When
@@ -60,11 +61,16 @@ def find_pairs(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     the conservative AABB box — on the VPU the exact test costs the same as
     the box test and cuts the pair list (and all downstream per-pair work)
     several-fold in ball-heavy scenes.
+
+    ``dynamic``: optional [N] bool; when given, pairs where BOTH bodies are
+    static are dropped (overlapping static geometry — ground, walls — can
+    never produce an acting contact and would spam hub-row budgets).
     """
     return find_pairs_partial(mins, maxs, 0, mins, maxs, capacity=capacity,
                               row_active=active, col_active=active,
                               block=block, max_per_row=max_per_row,
-                              ball_radius=ball_radius, margin=margin)
+                              ball_radius=ball_radius, margin=margin,
+                              dynamic=dynamic)
 
 
 @functools.partial(jax.jit,
@@ -75,7 +81,8 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
                        capacity: int, row_active=None, col_active=None,
                        block: int = 256, max_per_row: int = 32,
                        ball_radius=None, row_ball_radius=None,
-                       margin: float = 0.0) -> PairList:
+                       margin: float = 0.0, dynamic=None,
+                       row_dynamic=None) -> PairList:
     """Pairs (i, j) with i ∈ [row_offset, row_offset+R), j global, i < j.
 
     ``row_offset`` may be a traced scalar (device index × shard size under
@@ -100,6 +107,9 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
     if col_active is None:
         col_active = jnp.ones((n,), bool)
     ract_p = jnp.pad(row_active, (0, pad), constant_values=False)
+    if dynamic is not None:
+        rdyn = jnp.asarray(dynamic if row_dynamic is None else row_dynamic)
+        rdyn_p = jnp.pad(rdyn, (0, pad), constant_values=False)
     row_offset = jnp.asarray(row_offset, jnp.int32)
 
     cols = jnp.arange(n, dtype=jnp.int32)
@@ -136,6 +146,8 @@ def find_pairs_partial(row_mins: jax.Array, row_maxs: jax.Array,
         # the partners' rows and per-row budgets stay small
         m = overlap & (grows[:, None] > cols[None, :])
         m &= ract_p[local_rows][:, None] & col_active[None, :]
+        if dynamic is not None:
+            m &= rdyn_p[local_rows][:, None] | jnp.asarray(dynamic)[None, :]
 
         row_counts = jnp.sum(m, axis=-1, dtype=jnp.int32)  # [B]
         row_overflow |= jnp.any(row_counts > kk)

@@ -66,8 +66,12 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
                     max_per_body: int = 16, cell_cap: int = 8,
                     global_cap: int = 64, cand_budget: int = 48,
                     active=None,
-                    ball_radius=None, margin: float = 0.0) -> PairList:
-    """All overlapping AABB pairs (i < j) via the sorted uniform grid."""
+                    ball_radius=None, margin: float = 0.0,
+                    dynamic=None) -> PairList:
+    """All overlapping AABB pairs (i < j) via the sorted uniform grid.
+
+    ``dynamic``: optional [N] bool — static-static pairs are dropped (see
+    brute_force.find_pairs)."""
     n, dim = mins.shape
     n_off = 27 if dim == 3 else 9
     if active is None:
@@ -172,8 +176,13 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     if ball_radius is not None:
         rr = jnp.asarray(ball_radius)
         packed_cols += [center, rr[:, None]]
+    if dynamic is not None:
+        packed_cols += [jnp.asarray(dynamic, jnp.float32)[:, None]]
     packed = jnp.concatenate(packed_cols, axis=-1)
     cdata = packed[cand_f]
+    if dynamic is not None:
+        dyn_col = cdata[..., -1] > 0.5
+        mask_f &= jnp.asarray(dynamic)[:, None] | dyn_col
     cmins = cdata[..., :dim]
     cmaxs = cdata[..., dim:2 * dim]
     overlap = jnp.all((mins[:, None, :] <= cmaxs)

@@ -408,7 +408,7 @@ def remove_cfm_and_bias(cons: ContactConstraints) -> ContactConstraints:
     )
 
 
-def compact_contacts(contacts: Contacts, capacity: int):
+def compact_contacts(contacts: Contacts, capacity: int, extra=None):
     """Compact valid manifolds into a ``capacity``-sized buffer.
 
     AABB-overlap pairs vastly outnumber true contacts (a sphere's box
@@ -417,6 +417,9 @@ def compact_contacts(contacts: Contacts, capacity: int):
     shrinks all downstream work to the live contact count. Returns
     ``(contacts, true_count)``; overflow signals through the count for host
     re-bucketing, exactly like the pair list.
+
+    ``extra``: optional per-slot array compacted alongside (e.g. cached
+    pair-graph colors); returns ``(contacts, count, extra_compacted)``.
     """
     c = contacts.capacity
     flags = contacts.valid
@@ -438,4 +441,6 @@ def compact_contacts(contacts: Contacts, capacity: int):
         num_points=scatter(contacts.num_points),
         valid=(jnp.arange(capacity) < jnp.minimum(count, capacity)),
     )
+    if extra is not None:
+        return out, count, scatter(extra)
     return out, count

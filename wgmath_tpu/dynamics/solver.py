@@ -90,6 +90,23 @@ def build_body_constraint_csr(cons: ContactConstraints, num_bodies: int):
 # ---------------------------------------------------------------------------
 
 
+def color_pairs(body_a, body_b, valid, dyn_a, dyn_b, num_bodies: int,
+                *, max_colors: int = 32, claim_rounds: int = 2,
+                class_cap: int = 0):
+    """Edge-color a body-pair graph (array-level core of
+    ``color_constraints``; also used to color the broad-phase pair list
+    directly). Coloring a SUPERSET graph stays valid for every subset, so
+    pair-level colors cached alongside the slack-cached broad phase survive
+    per-frame contact flicker — the reference recolors every frame
+    (coloring.rs); here steady-state frames pay zero coloring."""
+    from types import SimpleNamespace
+
+    cons = SimpleNamespace(body_a=body_a, body_b=body_b, valid=valid)
+    return _color_edges(cons, dyn_a, dyn_b, num_bodies,
+                        max_colors=max_colors, claim_rounds=claim_rounds,
+                        class_cap=class_cap)
+
+
 def color_constraints(cons: ContactConstraints, num_bodies: int,
                       *, max_colors: int = 32, claim_rounds: int = 2,
                       class_cap: int = 0):
@@ -113,13 +130,20 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
     slightly longer color loop for a much tighter window (sweep work =
     colors × window). The cap matches the ``gs_cmax`` window budget.
     """
+    dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+    return _color_edges(cons, dyn_a, dyn_b, num_bodies,
+                        max_colors=max_colors, claim_rounds=claim_rounds,
+                        class_cap=class_cap)
+
+
+def _color_edges(cons, dyn_a, dyn_b, num_bodies: int, *, max_colors: int,
+                 claim_rounds: int, class_cap: int):
     c = cons.body_a.shape[0]
     idx_bits = max(int(c - 1).bit_length(), 1)  # unique low bits per index
     hash_shift = idx_bits
     inf = jnp.uint32(0xFFFFFFFF)
     idx = jnp.arange(c, dtype=jnp.int32)
-    dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
-    dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
     dyn2 = jnp.concatenate([dyn_a, dyn_b])
     bodies2 = jnp.concatenate([cons.body_a, cons.body_b])
 
@@ -692,7 +716,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           params: SimParams, *, use_jacobi: bool = False,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
-          joints=None, gs_cmax: int = 0, prev_colors=None):
+          joints=None, gs_cmax: int = 0, prev_colors=None,
+          colors_in=None):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -757,7 +782,11 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         num_colors = None
         cmax = 0
     else:
-        if same is not None and prev_colors is not None \
+        if colors_in is not None:
+            # pre-colored (pair-graph colors cached with the broad phase):
+            # steady-state frames skip coloring entirely
+            colors = colors_in
+        elif same is not None and prev_colors is not None \
                 and prev_colors.shape == cons.body_a.shape:
             colors = jax.lax.cond(
                 same, lambda: prev_colors,

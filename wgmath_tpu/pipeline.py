@@ -54,11 +54,15 @@ class PhysicsState:
     # every body's AABB remains inside its inflated reference box.
     bp_pairs: Any = None  # PairList | None
     bp_ref: Any = None  # (mins, maxs) | None
+    # pair-graph edge coloring cached with the pairs: colors of a superset
+    # graph stay valid for every per-frame contact subset, so steady-state
+    # frames skip coloring entirely. (colors, class_cap_used, max_colors_used)
+    bp_colors: Any = None
 
     def tree_flatten(self):
         return (self.bodies, self.shapes, self.prev_constraints,
                 self.pair_count, self.joints, self.prev_colors,
-                self.bp_pairs, self.bp_ref), None
+                self.bp_pairs, self.bp_ref, self.bp_colors), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -78,6 +82,8 @@ class PipelineConfig:
     broad_phase_max_per_row: int = 64
     sat_pair_capacity: int = 0  # >0: compact cuboid-cuboid pairs before SAT
     pfm_pair_capacity: int = 0  # >0: compact support-mapped pairs before GJK
+    bc_pair_capacity: int = 0  # >0: compact ball-cuboid pairs (size well
+    # above the expected ground-contact count; compaction truncates silently)
     gs_cmax: int = 0  # >0: per-color GS window (host-grown on overflow)
     mesh_pair_capacity: int = 512
     mesh_k_best: int = 4
@@ -100,19 +106,33 @@ def _has_mesh(shapes: ShapeSet) -> bool:
     return bool(shapes.kinds & {TRIMESH, POLYLINE})
 
 
-def auto_manifold_points(shapes: ShapeSet, dim: int) -> int:
+def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
     """Narrowest safe manifold width for this scene (host-side: reads the
     concrete shape tags). Only cuboid-cuboid SAT (3D/2D) and polyline-cuboid
     (2D) clipping emit multi-point manifolds; every other kernel emits
     one-point manifolds per slot, and all solver passes cost ∝ width —
     a balls-over-one-ground-slab scene runs its whole solve 4× leaner at
-    width 1. Pass the result as ``PipelineConfig.manifold_points``."""
+    width 1. Pass the result as ``PipelineConfig.manifold_points``.
+
+    ``dynamic``: optional per-body dynamic mask — when every cuboid is
+    static (ground + walls), cuboid-cuboid manifolds can never act and the
+    width stays 1."""
     from wgmath_tpu.shapes.shape import CUBOID, POLYLINE
 
-    n_cuboids = int(np.sum(np.asarray(shapes.tag) == CUBOID))
+    tags = np.asarray(shapes.tag)
+    cuboid = tags == CUBOID
+    n_cuboids = int(np.sum(cuboid))
+    any_dyn_cuboid = (True if dynamic is None
+                      else bool(np.any(cuboid & np.asarray(dynamic))))
     if dim == 3:
-        return 4 if n_cuboids >= 2 else 1
-    if n_cuboids >= 2 or (n_cuboids >= 1 and POLYLINE in shapes.kinds):
+        return 4 if (n_cuboids >= 2 and any_dyn_cuboid) else 1
+    polyline = tags == POLYLINE
+    any_dyn_pl_or_cuboid = (True if dynamic is None else
+                            bool(np.any((cuboid | polyline)
+                                        & np.asarray(dynamic))))
+    if (n_cuboids >= 2 and any_dyn_cuboid) or (
+            n_cuboids >= 1 and POLYLINE in shapes.kinds
+            and any_dyn_pl_or_cuboid):
         return 2
     return 1
 
@@ -148,6 +168,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     sphere_margin = params.prediction_distance + (
         2.0 * slack * float(np.sqrt(mins.shape[1])) if slack > 0 else 0.0)
 
+    dyn_mask = bodies.is_dynamic()
+
     def _run_bp(mn, mx):
         if use_grid:
             from wgmath_tpu.broad_phase.grid import find_pairs_grid
@@ -157,38 +179,65 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                                    cell_cap=config.bp_cell_cap,
                                    global_cap=config.bp_global_cap,
                                    cand_budget=config.bp_cand_budget,
-                                   ball_radius=radii, margin=sphere_margin)
+                                   ball_radius=radii, margin=sphere_margin,
+                                   dynamic=dyn_mask)
         return find_pairs(mn, mx, capacity=config.pair_capacity,
                           block=config.broad_phase_block,
                           max_per_row=config.broad_phase_max_per_row,
-                          ball_radius=radii, margin=sphere_margin)
+                          ball_radius=radii, margin=sphere_margin,
+                          dynamic=dyn_mask)
+
+    # pair-graph coloring rides the BP cache: recolor only when the broad
+    # phase actually re-runs. Gated off for mesh scenes (k-best rows of one
+    # pair share bodies, so pair-level colors would break GS disjointness)
+    # and for Jacobi (needs no coloring).
+    color_with_bp = (slack > 0 and not config.use_jacobi
+                     and not _has_mesh(state.shapes))
+
+    def _colored_bp(mn, mx):
+        p = _run_bp(mn, mx)
+        if not color_with_bp:
+            return p, (mn, mx), None
+        from wgmath_tpu.dynamics.solver import color_pairs
+
+        dyn = dyn_mask
+        cols = color_pairs(p.body_a, p.body_b, p.valid,
+                           dyn[p.body_a], dyn[p.body_b], n_bodies,
+                           max_colors=config.max_colors,
+                           class_cap=config.gs_cmax)
+        return p, (mn, mx), (cols, jnp.int32(config.gs_cmax),
+                             jnp.int32(config.max_colors))
 
     cache_ok = (slack > 0 and state.bp_pairs is not None
                 and state.bp_ref is not None
-                and state.bp_pairs.body_a.shape[0] == config.pair_capacity)
+                and state.bp_pairs.body_a.shape[0] == config.pair_capacity
+                and (not color_with_bp or state.bp_colors is not None))
     if slack > 0:
         if cache_ok:
             inside = jnp.all((mins >= state.bp_ref[0])
                              & (maxs <= state.bp_ref[1]))
+            if color_with_bp:
+                # cached colors are stale if the coloring knobs changed
+                # (host regrew gs_cmax after a residue signal)
+                inside &= ((state.bp_colors[1] == config.gs_cmax)
+                           & (state.bp_colors[2] == config.max_colors))
             # cached pairs stay a superset of true overlaps while every AABB
             # remains inside its slack-inflated reference box
-            pairs, bp_ref = jax.lax.cond(
+            pairs, bp_ref, bp_colors = jax.lax.cond(
                 inside,
-                lambda: (state.bp_pairs, state.bp_ref),
-                lambda: (_run_bp(mins - slack, maxs + slack),
-                         (mins - slack, maxs + slack)))
+                lambda: (state.bp_pairs, state.bp_ref, state.bp_colors),
+                lambda: _colored_bp(mins - slack, maxs + slack))
         else:
-            pairs = _run_bp(mins - slack, maxs + slack)
-            bp_ref = (mins - slack, maxs + slack)
+            pairs, bp_ref, bp_colors = _colored_bp(mins - slack, maxs + slack)
     else:
-        pairs = _run_bp(mins, maxs)
+        pairs, bp_ref, bp_colors = _colored_bp(mins, maxs)
         bp_ref = None
     p_max = config.manifold_points
     contacts = narrow_phase(bodies.poses, state.shapes, pairs,
                             params.prediction_distance,
                             sat_capacity=config.sat_pair_capacity,
                             pfm_capacity=config.pfm_pair_capacity,
-                            p_max=p_max)
+                            p_max=p_max, bc_capacity=config.bc_pair_capacity)
     if _has_mesh(state.shapes):
         from wgmath_tpu.queries.mesh_contact import (
             concat_contacts,
@@ -237,11 +286,16 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                     params.prediction_distance,
                     pair_cap=config.mesh_pair_capacity // 2, k_best=2)
                 contacts = concat_contacts(contacts, pc_contacts)
+    contact_colors = bp_colors[0] if color_with_bp else None
     if config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 
-        contacts, contact_count = compact_contacts(contacts,
-                                                   config.contact_capacity)
+        if contact_colors is not None:
+            contacts, contact_count, contact_colors = compact_contacts(
+                contacts, config.contact_capacity, extra=contact_colors)
+        else:
+            contacts, contact_count = compact_contacts(
+                contacts, config.contact_capacity)
     else:
         contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
 
@@ -257,12 +311,14 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         joints=state.joints,
         gs_cmax=config.gs_cmax,
         prev_colors=state.prev_colors if warmstart else None,
+        colors_in=contact_colors,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.stack([pairs.count, contact_count, max_class])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
-                        pairs if config.bp_slack > 0 else None, bp_ref)
+                        pairs if config.bp_slack > 0 else None, bp_ref,
+                        bp_colors if config.bp_slack > 0 else None)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "n_steps"))
@@ -272,9 +328,12 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     amortizes dispatch overhead for serving/benchmark loops. Requires a
     warmed state (prev_constraints present) so the carry structure is fixed.
     """
+    color_with_bp = (config.bp_slack > 0 and not config.use_jacobi
+                     and not _has_mesh(state.shapes))
     needs_bp_cache = config.bp_slack > 0 and (
         state.bp_pairs is None
-        or state.bp_pairs.body_a.shape[0] != config.pair_capacity)
+        or state.bp_pairs.body_a.shape[0] != config.pair_capacity
+        or (color_with_bp and state.bp_colors is None))
     if (state.prev_constraints is None or state.prev_colors is None
             or needs_bp_cache or (config.bp_slack <= 0
                                   and state.bp_pairs is not None)):

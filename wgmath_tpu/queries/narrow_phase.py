@@ -99,7 +99,8 @@ def _compact_mask(mask, capacity):
 
 def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                  prediction_distance: float, *, sat_capacity: int = 0,
-                 pfm_capacity: int = 0, p_max: int = 0) -> Contacts:
+                 pfm_capacity: int = 0, p_max: int = 0,
+                 bc_capacity: int = 0) -> Contacts:
     """Dispatch contact kernels over the pair list; one manifold per pair.
 
     ``sat_capacity``/``pfm_capacity`` > 0 compact the matching pairs into a
@@ -150,7 +151,39 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         num_points = jnp.where(bb, 1, num_points)
 
     # --- ball vs cuboid (either order) --------------------------------------
-    for swap in (False, True) if (has_ball and has_cuboid) else ():
+    if has_ball and has_cuboid and bc_capacity:
+        # compacted: ball-vs-(usually one ground) cuboid pairs are a tiny
+        # fraction of the pair list — run one normalized pass on just them
+        m = (((tag_a == shp.BALL) & (tag_b == shp.CUBOID))
+             | ((tag_a == shp.CUBOID) & (tag_b == shp.BALL))) & pairs.valid
+        sel, act = _compact_mask(m, bc_capacity)
+        swap = tag_a[sel] == shp.CUBOID  # True: A is the cuboid
+        pa_s = _take_sim(poses, a[sel])
+        pb_s = _take_sim(poses, b[sel])
+        pball = Sim(jnp.where(swap[:, None], pb_s.rotation, pa_s.rotation),
+                    jnp.where(swap[:, None], pb_s.translation,
+                              pa_s.translation),
+                    jnp.where(swap, pb_s.scale, pa_s.scale))
+        pbox = Sim(jnp.where(swap[:, None], pa_s.rotation, pb_s.rotation),
+                   jnp.where(swap[:, None], pa_s.translation,
+                             pb_s.translation),
+                   jnp.where(swap, pa_s.scale, pb_s.scale))
+        r = jnp.where(swap, par_b[sel, 0], par_a[sel, 0])
+        he = jnp.where(swap[:, None], par_a[sel, :dim], par_b[sel, :dim])
+        pt_w, n_w, d_bc = ball_cuboid(pball, pbox, r, he)
+        n_ab = jnp.where(swap[:, None], n_w, -n_w)
+        n_loc = sim_ops.inv_mul_unit_vec(pa_s, n_ab)
+        r_eff = r * pball.scale
+        pt_ball_w = pball.translation - n_w * r_eff[:, None]
+        pt_a_w = jnp.where(swap[:, None], pt_w, pt_ball_w)
+        p_loc = sim_ops.inv_mul_pt(pa_s, pt_a_w)
+        sel_drop = jnp.where(act, sel, c)
+        normal_a = normal_a.at[sel_drop].set(n_loc, mode="drop")
+        points_a = points_a.at[sel_drop, 0].set(p_loc, mode="drop")
+        dist = dist.at[sel_drop, 0].set(d_bc, mode="drop")
+        num_points = num_points.at[sel_drop].set(1, mode="drop")
+    for swap in (False, True) if (has_ball and has_cuboid
+                                  and not bc_capacity) else ():
         if swap:
             m = (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
             pb, pc = pose_b, pose_a

@@ -69,6 +69,55 @@ def balls(n: int = 1000, *, radius: float = 0.5, dim: int = 3,
     return _with_ground(shapes, jnp.asarray(pos), mp, dim=dim)
 
 
+def ball_pit(n: int = 10_000, *, radius: float = 0.5, depth: int = 8,
+             seed: int = 0) -> PhysicsState:
+    """Lattice of balls dropped into a walled pit (ground + 4 static walls).
+
+    Unlike the open ``balls`` scene — where scattered balls roll across the
+    ground forever (spheres have no rolling resistance here, nor in the
+    reference) — the pit jams: the pile reaches a quiescent, contact-rich
+    steady state, which is the regime benchmark config 5 times. Statics
+    (ground, walls) come first per the hub-row convention.
+    """
+    rng = np.random.default_rng(seed)
+    spacing = 2.0 * radius * 1.05
+    side = int(np.ceil(np.sqrt(n / depth)))
+    coords = np.stack(np.meshgrid(np.arange(side), np.arange(depth),
+                                  np.arange(side), indexing="ij"),
+                      -1).reshape(-1, 3)[:n]
+    pos = coords[:, [0, 1, 2]].astype(np.float32) * spacing
+    pos[:, [0, 2]] -= pos[:, [0, 2]].mean(0, keepdims=True)
+    pos[:, 1] += 2.0 * radius
+    pos += rng.uniform(-0.05, 0.05, pos.shape).astype(np.float32) * radius
+    half_w = side * spacing / 2.0 + 2.0 * radius  # inner half-width
+    wall_t = 0.5
+    wall_h = depth * spacing / 2.0 + 4.0
+    wall_he = np.asarray([
+        [wall_t, wall_h, half_w + 2 * wall_t],
+        [wall_t, wall_h, half_w + 2 * wall_t],
+        [half_w + 2 * wall_t, wall_h, wall_t],
+        [half_w + 2 * wall_t, wall_h, wall_t],
+    ], np.float32)
+    wall_pos = np.asarray([
+        [half_w + wall_t, wall_h, 0.0],
+        [-half_w - wall_t, wall_h, 0.0],
+        [0.0, wall_h, half_w + wall_t],
+        [0.0, wall_h, -half_w - wall_t],
+    ], np.float32)
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.asarray(wall_he)),
+        ShapeSet.balls(jnp.full((n,), radius)),
+    )
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.asarray(wall_he),
+                            dynamic=jnp.zeros((4,), bool)),
+        ball_local_mprops(jnp.full((n,), radius), dim=3),
+    )
+    trans = jnp.asarray(np.concatenate([wall_pos, pos]), jnp.float32)
+    return _with_ground(shapes, trans, mp, dim=3,
+                        ground_he=(half_w + 4.0, 1.0, half_w + 4.0))
+
+
 def boxes(n: int = 1000, *, half_extent: float = 0.5, dim: int = 3,
           seed: int = 0) -> PhysicsState:
     """Grid of falling cuboids (≙ examples boxes3.rs)."""
@@ -129,6 +178,7 @@ SCENES = {
     "pyramid3": lambda: pyramid(20),
     "ball_pyramid3": lambda: pyramid(20, use_balls=True),
     "balls10k": lambda: balls(10_000, dim=3),
+    "ball_pit": lambda: ball_pit(10_000),
 }
 
 
