@@ -52,3 +52,55 @@ def test_sharded_multi_step_stable():
     for _ in range(5):
         bodies, _ = fn(bodies, shapes)
     assert np.all(np.isfinite(np.asarray(bodies.poses.translation)))
+
+
+def test_sharded_solve_matches_on_contact_rich_pile():
+    """Settle a pile single-device first, then compare one sharded-solve
+    step (color windows split across 8 devices + per-color psum) against the
+    SAME pipeline with a replicated solve — the window split must not change
+    the math. (Comparing against the single-device pipeline instead would
+    conflate this with constraint-order sensitivity: the gathered pair list
+    orders constraints differently and Gauss-Seidel is order-dependent, so
+    the two pipelines agree only to solver tolerance, not bitwise.)"""
+    import wgmath_tpu.parallel.sharded as sh
+    from wgmath_tpu.dynamics import solver as S
+
+    params = SimParams()
+    config = PipelineConfig(pair_capacity=2048, max_colors=16,
+                            max_per_body=16, broad_phase_block=64)
+    state = balls(127, dim=3)
+    for f in range(40):  # contact-rich settled pile
+        state = step(state, params, config, warmstart=f > 0)
+    assert int(np.asarray(state.pair_count)[1]) > 60
+
+    ref = step(state, params, config, warmstart=False)
+
+    mesh = body_mesh(8)
+    bodies, shapes = shard_state(state, mesh)
+
+    orig_solve = S.solve
+
+    def solve_replicated(*a, **k):
+        k["shard"] = None
+        return orig_solve(*a, **k)
+
+    sh.solve = solve_replicated
+    try:
+        out_r, _ = make_sharded_step(mesh, params, config)(bodies, shapes)
+    finally:
+        sh.solve = orig_solve
+    out_s, _ = make_sharded_step(mesh, params, config)(bodies, shapes)
+
+    n = state.bodies.num_bodies
+    for f in ("linear", "angular"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s.vels, f))[:n],
+            np.asarray(getattr(out_r.vels, f))[:n], rtol=1e-4, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_s.poses.translation)[:n],
+        np.asarray(out_r.poses.translation)[:n], rtol=1e-5, atol=1e-6)
+    # and both stay physically consistent with the single-device step
+    # (order-tolerant bound: GS converges to the same contact solution)
+    np.testing.assert_allclose(
+        np.asarray(out_s.poses.translation)[:n],
+        np.asarray(ref.bodies.poses.translation), rtol=1e-3, atol=1e-3)

@@ -562,29 +562,45 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
 
 
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
-                        layout, num_colors, *, cmax: int, dim: int):
+                        layout, num_colors, *, cmax: int, dim: int,
+                        shard=None):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
     stay sorted across sweeps and are unsorted once at the end of the solve.
     Velocities travel as one packed [N, dim+adim] array so each color costs
     two gathers + two scatter-adds (instead of four of each).
+
+    ``shard``: optional ``(axis_name, n_shards)`` — inside ``shard_map``,
+    split every color window across the mesh axis. Same-color constraints
+    are body-disjoint, so each device solves its slice of the window and a
+    single ``psum`` of velocity deltas per color reproduces the sequential
+    Gauss-Seidel result EXACTLY (the scaling-book collective recipe applied
+    to the reference's per-color kernel launches, solver.rs:238-460).
+    Constraint fields/impulses stay replicated; impulse updates are psum'd
+    the same way so every replica stays bitwise consistent.
     """
     p_max = n_imp_s.shape[1]
     order_padded, offsets, counts = layout
-    slot = jnp.arange(cmax, dtype=jnp.int32)
+    axis_name, n_shards = shard if shard is not None else (None, 1)
+    # per-device window slice; cmax must divide evenly (solve() rounds up)
+    assert cmax % n_shards == 0
+    lw = cmax // n_shards
+    slot = jnp.arange(lw, dtype=jnp.int32)
+    shard_off = (jax.lax.axis_index(axis_name) * lw if axis_name is not None
+                 else jnp.int32(0))
     from types import SimpleNamespace
 
     ang2d = vels.angular.ndim == 1
     ang_v = vels.angular[:, None] if ang2d else vels.angular
     n_bodies = vels.linear.shape[0]
-    # cmax scratch rows absorb padding/static writes so every scatter-add
+    # lw scratch rows absorb padding/static writes so every scatter-add
     # below carries unique indices — XLA's fast TPU scatter path (the
     # duplicate-tolerant path serializes; it dominated the solve before)
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
     packed0 = jnp.concatenate(
-        [packed0, jnp.zeros((cmax, dim + adim), packed0.dtype)])
+        [packed0, jnp.zeros((lw, dim + adim), packed0.dtype)])
     # same-color constraints share no *dynamic* body (coloring predicate:
     # any(im != 0)); only dynamic-body writes keep their real index
     dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
@@ -592,9 +608,10 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
 
     def one_color(color, carry):
         packed, n_imp, t_imp = carry
-        start = offsets[color]
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, cmax)
-        active = slot < counts[color]
+        base = offsets[color]
+        start = base + shard_off
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, lw)
+        active = shard_off + slot < counts[color]
         view = SimpleNamespace(
             **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
         prev_n = sl(n_imp)
@@ -611,8 +628,6 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
         new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
             view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
-        n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n, start, 0)
-        t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t, start, 0)
         trash = n_bodies + slot  # disjoint scratch row per slot → unique
         ba_sel = jnp.where(active & sl(dyn_a_s), ba, trash)
         bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash)
@@ -621,10 +636,41 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             v2a, i2a = v2a[:, None], i2a[:, None]
         d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
         d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
-        packed = packed.at[ba_sel].add(d1, mode="promise_in_bounds",
-                                       unique_indices=True)
-        packed = packed.at[bb_sel].add(d2, mode="promise_in_bounds",
-                                       unique_indices=True)
+        if axis_name is None:
+            n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
+                                                        start, 0)
+            t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
+                                                        start, 0)
+            packed = packed.at[ba_sel].add(d1, mode="promise_in_bounds",
+                                           unique_indices=True)
+            packed = packed.at[bb_sel].add(d2, mode="promise_in_bounds",
+                                           unique_indices=True)
+        else:
+            # every device owns a disjoint slice of the window: one psum of
+            # the (dense-represented) deltas reproduces sequential GS
+            delta = jnp.zeros_like(packed)
+            delta = delta.at[ba_sel].add(d1, mode="promise_in_bounds",
+                                         unique_indices=True)
+            delta = delta.at[bb_sel].add(d2, mode="promise_in_bounds",
+                                         unique_indices=True)
+            delta = delta.at[n_bodies:].set(0.0)
+            packed = packed + jax.lax.psum(delta, axis_name)
+            # impulse deltas ride the same pattern (window-sized psum) so
+            # the replicated accumulators stay consistent for warmstart
+            win_n = jnp.zeros((cmax,) + new_n.shape[1:], new_n.dtype)
+            win_t = jnp.zeros((cmax,) + new_t.shape[1:], new_t.dtype)
+            win_n = jax.lax.dynamic_update_slice_in_dim(
+                win_n, new_n - prev_n, shard_off, 0)
+            win_t = jax.lax.dynamic_update_slice_in_dim(
+                win_t, new_t - prev_t, shard_off, 0)
+            win_n = jax.lax.psum(win_n, axis_name)
+            win_t = jax.lax.psum(win_t, axis_name)
+            cur_n = jax.lax.dynamic_slice_in_dim(n_imp, base, cmax)
+            cur_t = jax.lax.dynamic_slice_in_dim(t_imp, base, cmax)
+            n_imp = jax.lax.dynamic_update_slice_in_dim(
+                n_imp, cur_n + win_n, base, 0)
+            t_imp = jax.lax.dynamic_update_slice_in_dim(
+                t_imp, cur_t + win_t, base, 0)
         return packed, n_imp, t_imp
 
     packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
@@ -717,7 +763,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
           joints=None, gs_cmax: int = 0, prev_colors=None,
-          colors_in=None):
+          colors_in=None, shard=None):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -802,6 +848,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         cmax = min(cons.body_a.shape[0], n + 64)
         if gs_cmax:
             cmax = min(cmax, gs_cmax)
+        if shard is not None:  # color windows split evenly across devices
+            cmax = -(-cmax // shard[1]) * shard[1]
         layout = build_color_layout(colors, cons.valid,
                                     max_colors=max_colors, cmax=cmax)
         csr = None
@@ -851,7 +899,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                                         max_colors=max_colors)
         vels, n_imp_s, t_imp_s = gs_color_major_pass(
             sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_)
+            cmax=cmax, dim=dim_, shard=shard)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
         if joints is not None:
             jcons = remove_joint_bias(jcons)
@@ -863,7 +911,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
         vels, n_imp_s, t_imp_s = gs_color_major_pass(
             unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_)
+            cmax=cmax, dim=dim_, shard=shard)
         return vels, poses, n_imp_s, t_imp_s
 
     def substep_jacobi(_, carry):

@@ -87,14 +87,17 @@ def make_sharded_step(mesh: Mesh, params: SimParams, config: PipelineConfig):
             margin=params.prediction_distance)
         contacts_local = narrow_phase(bodies.poses, shapes, pairs,
                                       params.prediction_distance)
-        # gather the full manifold list; replicated solve
+        # gather the full manifold list; solve with color windows split
+        # across the mesh (per-color psum of velocity deltas — exact GS;
+        # Jacobi stays replicated: it has no color windows to split)
         contacts = jax.tree.map(
             lambda x: (jax.lax.all_gather(x, "b", tiled=True)
                        if x.ndim >= 1 else x), contacts_local)
         poses, vels, _cons, _max_class, _colors = solve(
             bodies, mprops, contacts, params,
             use_jacobi=config.use_jacobi, max_colors=config.max_colors,
-            max_per_body=config.max_per_body)
+            max_per_body=config.max_per_body,
+            shard=None if config.use_jacobi else ("b", n_dev))
         new_bodies = Bodies(poses, vels, bodies.local_mprops)
         out_local = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, row_offset, n_local),
