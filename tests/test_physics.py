@@ -697,3 +697,102 @@ def test_ball_pit_settles_quiescent():
     assert (tr[dyn, 1] > -r).all()  # nobody fell through the ground
     assert int(np.asarray(s.pair_count)[1]) > 100  # contact-rich
     assert maxv < 1.0  # jammed, not exploding
+
+
+def test_velocity_slack_keeps_cache_valid_with_straggler():
+    """A fast straggler ball must not invalidate the slack-cached broad
+    phase every frame: its reference box grows with its speed, so the
+    containment predicate keeps holding while it flies."""
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    s = balls(96, dim=3)
+    cfg = PipelineConfig(pair_capacity=2048, max_colors=16, bp_slack=0.02,
+                         contact_capacity=1024, gs_cmax=128,
+                         manifold_points=1)
+    for f in range(50):  # settle
+        s = step(s, params, cfg, warmstart=f > 0)
+    # launch one ball sideways at straggler speed
+    lin = s.bodies.vels.linear.at[40].set(jnp.asarray([1.5, 0.5, 1.0]))
+    s = dataclasses.replace(
+        s, bodies=Bodies(s.bodies.poses,
+                         dataclasses.replace(s.bodies.vels, linear=lin),
+                         s.bodies.local_mprops))
+    s = step(s, params, cfg)  # refresh happens at most here
+    hits = 0
+    for f in range(6):
+        mins, maxs = world_aabbs(s.shapes, s.bodies.poses,
+                                 margin=params.prediction_distance)
+        inside = bool(jnp.all((mins >= s.bp_ref[0]) & (maxs <= s.bp_ref[1])))
+        hits += inside
+        s = step(s, params, cfg)
+    # per-frame travel at 1.9 m/s ≈ 0.03 > bp_slack alone; the velocity
+    # term must carry it for most of a 6-frame horizon
+    assert hits >= 4, f"cache held only {hits}/6 frames"
+    assert np.isfinite(np.asarray(s.bodies.poses.translation)).all()
+
+
+def test_incremental_pair_recolor_stays_valid():
+    """transfer_pair_colors + assign_new_pair_colors after pair churn must
+    keep same-color pairs dynamic-body-disjoint and respect the class cap."""
+    from wgmath_tpu.dynamics.solver import (
+        assign_new_pair_colors,
+        color_pairs,
+        transfer_pair_colors,
+    )
+
+    rng = np.random.default_rng(5)
+    n_bodies, cap = 200, 512
+    dyn = jnp.asarray(rng.random(n_bodies) > 0.1)
+
+    def random_pairs(k):
+        seen = set()
+        out = []
+        while len(out) < k:
+            a, b = sorted(rng.integers(0, n_bodies, 2).tolist())
+            if a != b and (a, b) not in seen and (dyn[a] or dyn[b]):
+                seen.add((a, b))
+                out.append((a, b))
+        return out
+
+    old = random_pairs(300)
+    ba = jnp.asarray([p[0] for p in old] + [0] * (cap - 300), jnp.int32)
+    bb = jnp.asarray([p[1] for p in old] + [0] * (cap - 300), jnp.int32)
+    valid = jnp.asarray([True] * 300 + [False] * (cap - 300))
+    colors = color_pairs(ba, bb, valid, dyn[ba], dyn[bb], n_bodies,
+                         max_colors=16, class_cap=64)
+
+    # churn: drop 20 pairs, add 30 new ones, shuffle slot order
+    survivors = old[20:]
+    new_pairs = [p for p in random_pairs(60) if p not in set(old)][:30]
+    mixed = survivors + new_pairs
+    rng.shuffle(mixed)
+    nb_a = jnp.asarray([p[0] for p in mixed] + [0] * (cap - len(mixed)),
+                       jnp.int32)
+    nb_b = jnp.asarray([p[1] for p in mixed] + [0] * (cap - len(mixed)),
+                       jnp.int32)
+    nvalid = jnp.asarray([True] * len(mixed) + [False] * (cap - len(mixed)))
+
+    mapped = transfer_pair_colors(nb_a, nb_b, nvalid, ba, bb, valid, colors)
+    m = np.asarray(mapped)
+    # survivors keep their color, news start at 0
+    old_color = {p: int(c) for p, c in zip(old, np.asarray(colors)[:300])}
+    for i, p in enumerate(mixed):
+        if p in old_color:
+            assert m[i] == old_color[p], (i, p)
+        else:
+            assert m[i] == 0
+
+    out = np.asarray(assign_new_pair_colors(
+        nb_a, nb_b, nvalid, mapped, dyn[nb_a], dyn[nb_b], n_bodies,
+        max_colors=16, class_cap=64, new_cap=64))
+    nv = np.asarray(nvalid)
+    assert (out[nv] > 0).all(), "every pair colored (plenty of colors free)"
+    d = np.asarray(dyn)
+    a_np, b_np = np.asarray(nb_a), np.asarray(nb_b)
+    for col in np.unique(out[nv]):
+        sel = nv & (out == col)
+        assert sel.sum() <= 64, f"class cap violated for color {col}"
+        touched = np.concatenate([a_np[sel][d[a_np[sel]]],
+                                  b_np[sel][d[b_np[sel]]]])
+        assert len(np.unique(touched)) == len(touched), f"color {col} clash"

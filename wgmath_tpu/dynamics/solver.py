@@ -211,6 +211,92 @@ def _color_edges(cons, dyn_a, dyn_b, num_bodies: int, *, max_colors: int,
     return colors
 
 
+def pair_key(ba, bb, valid):
+    """u32 key (a<<16 | b) per pair; invalid slots → 0xFFFFFFFF. Assumes
+    < 65536 bodies (the pipeline's same-contact-set predicate shares this)."""
+    k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32) & 0xFFFF)
+    return jnp.where(valid, k, jnp.uint32(0xFFFFFFFF))
+
+
+def transfer_pair_colors(new_ba, new_bb, new_valid,
+                         old_ba, old_bb, old_valid, old_colors):
+    """Carry pair colors across a broad-phase refresh by key match: slots
+    whose (a, b) pair survived keep their color; genuinely new pairs get 0.
+    A valid coloring of the old graph restricted to surviving edges stays
+    valid — removals never create conflicts."""
+    ko = pair_key(old_ba, old_bb, old_valid)
+    kn = pair_key(new_ba, new_bb, new_valid)
+    order = jnp.argsort(ko)
+    ko_s = ko[order]
+    oc_s = old_colors[order]
+    pos = jnp.searchsorted(ko_s, kn, method="sort").astype(jnp.int32)
+    pos = jnp.minimum(pos, ko.shape[0] - 1)
+    hit = (ko_s[pos] == kn) & new_valid & (kn != jnp.uint32(0xFFFFFFFF))
+    return jnp.where(hit, oc_s[pos], 0)
+
+
+def assign_new_pair_colors(ba, bb, valid, colors, dyn_a, dyn_b,
+                           num_bodies: int, *, max_colors: int,
+                           class_cap: int, new_cap: int):
+    """Greedy sequential color assignment for the (few) uncolored pairs.
+
+    Builds per-body used-color tables + per-class sizes from the already-
+    colored pairs, then walks up to ``new_cap`` uncolored slots giving each
+    the first color unused at both its dynamic bodies (and under the class
+    budget). Pairs that find no color stay 0 — the layout parks them
+    unswept and solve() signals overflow exactly like coloring residue.
+
+    This is the refresh-path complement of the cached pair-graph coloring:
+    a straggler bouncing off a wall changes a handful of pairs, and a full
+    Luby recolor of a 64k-capacity graph (~120 ms on TPU at 10k bodies)
+    is absurd for that. ≙ nothing in the reference — it recolors from
+    scratch every frame (coloring.rs).
+    """
+    c = ba.shape[0]
+    mc = max_colors + 1
+    rows2 = jnp.concatenate([
+        jnp.where(valid & dyn_a & (colors > 0), ba, num_bodies),
+        jnp.where(valid & dyn_b & (colors > 0), bb, num_bodies)])
+    cols2 = jnp.concatenate([colors, colors]).astype(jnp.int32)
+    used = jnp.zeros((num_bodies + 1, mc), bool)
+    used = used.at[rows2, jnp.clip(cols2, 0, max_colors)].set(True,
+                                                             mode="drop")
+    counts = jax.ops.segment_sum(
+        (valid & (colors > 0)).astype(jnp.int32),
+        jnp.clip(colors, 0, max_colors), num_segments=mc)
+    cap = jnp.int32(class_cap if class_cap else c)
+
+    # compact uncolored-slot indices to the front (one sort)
+    is_new = valid & (colors == 0)
+    slots = jnp.sort(jnp.where(is_new, jnp.arange(c, dtype=jnp.int32),
+                               jnp.int32(c)))
+
+    col_ids = jnp.arange(mc, dtype=jnp.int32)
+
+    def assign(i, carry):
+        colors, used, counts = carry
+        s = jnp.minimum(slots[i], c - 1)
+        active = slots[i] < c
+        a, b = ba[s], bb[s]
+        free = ~(used[a] & dyn_a[s]) & ~(used[b] & dyn_b[s])
+        free &= counts < cap
+        free = free.at[0].set(False)
+        color = jnp.where(free.any() & active,
+                          jnp.argmax(free).astype(jnp.int32), 0)
+        colors = colors.at[s].set(jnp.where(active, color, colors[s]))
+        hit = active & (color > 0)
+        used = used.at[jnp.where(hit & dyn_a[s], a, num_bodies), color].set(
+            True, mode="drop")
+        used = used.at[jnp.where(hit & dyn_b[s], b, num_bodies), color].set(
+            True, mode="drop")
+        counts = counts + jnp.where(hit, col_ids == color, False)
+        return colors, used, counts
+
+    colors, _, _ = jax.lax.fori_loop(0, new_cap, assign,
+                                     (colors, used, counts))
+    return colors
+
+
 # ---------------------------------------------------------------------------
 # Shared per-constraint impulse math (one point-loop used by GS and Jacobi)
 # ---------------------------------------------------------------------------

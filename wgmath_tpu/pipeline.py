@@ -98,6 +98,23 @@ class PipelineConfig:
     # pair each frame and the sphere prefilter limit is widened to cover the
     # worst-case drift. Settled scenes then pay the BP cost ~never.
     bp_slack: float = 0.0
+    # velocity-aware slack (active when bp_slack > 0): each body's reference
+    # box additionally grows by min(bp_vel_slack * |v|, bp_vel_slack_cap) —
+    # ≈ that many seconds of travel before the body re-triggers a BP refresh.
+    # Keeps settled-scene stragglers (a ball bouncing across the pile) from
+    # invalidating the cache every frame; the cap bounds pair-list growth
+    # during free-fall phases where everything is fast.
+    # cap 0.1: keeps next-nearest lattice neighbors outside the widened
+    # sphere-prefilter limit during synchronized free fall (pair-capacity
+    # pollution), while still covering ~3-10 frames for 0.3-1.7 m/s
+    # stragglers — whose refreshes then reuse cached colors via the
+    # pair-key match and pay for the broad phase alone.
+    bp_vel_slack: float = 0.33
+    bp_vel_slack_cap: float = 0.1
+    # refresh-path incremental recoloring: carry surviving pairs' colors by
+    # key match; greedily color up to this many new pairs sequentially. More
+    # churn than this (or regrown knobs) falls back to the full recolor.
+    bp_recolor_cap: int = 64
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -163,12 +180,29 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     use_grid = config.bp_algo == "grid" or (config.bp_algo == "auto"
                                             and n_bodies >= 1024)
     slack = config.bp_slack
-    # the slack-widened sphere-prefilter limit covers the worst drift the
-    # AABB-containment check admits: each center moves ≤ slack per axis
-    sphere_margin = params.prediction_distance + (
-        2.0 * slack * float(np.sqrt(mins.shape[1])) if slack > 0 else 0.0)
-
+    dim_sqrt = float(np.sqrt(mins.shape[1]))
     dyn_mask = bodies.is_dynamic()
+
+    # Velocity-aware per-body slack: a settled pile usually has a few
+    # stragglers (a ball bouncing on top) whose per-frame motion exceeds any
+    # uniform slack — one such body re-triggers the 100+ ms BP refresh every
+    # frame. Each body's reference box instead grows with its speed
+    # (≈ bp_vel_slack seconds of travel, capped so free-fall phases don't
+    # blow up the pair list), so fast bodies stop invalidating the cache.
+    if slack > 0:
+        speed = jnp.linalg.norm(bodies.vels.linear, axis=-1, keepdims=True)
+        infl = slack + jnp.minimum(config.bp_vel_slack * speed,
+                                   config.bp_vel_slack_cap)  # [N, 1]
+        # the sphere prefilter must admit the same drift: each center can
+        # move ≤ infl per axis (= infl·√dim in distance) before a refresh
+        if radii is not None:
+            radii_bp = radii + dim_sqrt * infl[:, 0]
+        else:
+            radii_bp = None
+    else:
+        infl = None
+        radii_bp = radii
+    sphere_margin = params.prediction_distance
 
     def _run_bp(mn, mx):
         if use_grid:
@@ -179,12 +213,13 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                                    cell_cap=config.bp_cell_cap,
                                    global_cap=config.bp_global_cap,
                                    cand_budget=config.bp_cand_budget,
-                                   ball_radius=radii, margin=sphere_margin,
+                                   ball_radius=radii_bp,
+                                   margin=sphere_margin,
                                    dynamic=dyn_mask)
         return find_pairs(mn, mx, capacity=config.pair_capacity,
                           block=config.broad_phase_block,
                           max_per_row=config.broad_phase_max_per_row,
-                          ball_radius=radii, margin=sphere_margin,
+                          ball_radius=radii_bp, margin=sphere_margin,
                           dynamic=dyn_mask)
 
     # pair-graph coloring rides the BP cache: recolor only when the broad
@@ -194,17 +229,50 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     color_with_bp = (slack > 0 and not config.use_jacobi
                      and not _has_mesh(state.shapes))
 
-    def _colored_bp(mn, mx):
+    def _colored_bp(mn, mx, reuse=None):
         p = _run_bp(mn, mx)
         if not color_with_bp:
             return p, (mn, mx), None
         from wgmath_tpu.dynamics.solver import color_pairs
 
         dyn = dyn_mask
-        cols = color_pairs(p.body_a, p.body_b, p.valid,
-                           dyn[p.body_a], dyn[p.body_b], n_bodies,
-                           max_colors=config.max_colors,
-                           class_cap=config.gs_cmax)
+
+        def recolor():
+            return color_pairs(p.body_a, p.body_b, p.valid,
+                               dyn[p.body_a], dyn[p.body_b], n_bodies,
+                               max_colors=config.max_colors,
+                               class_cap=config.gs_cmax)
+
+        if reuse is None:
+            cols = recolor()
+        else:
+            # a refresh triggered by a straggler escaping its box changes a
+            # handful of pairs (its wall/neighbor pairs flicker). Carry the
+            # surviving pairs' colors by key match and greedily color only
+            # the new pairs — a full Luby recolor of the 64k-capacity graph
+            # costs ~4× the broad phase itself and is reserved for real
+            # pair-set churn (> bp_recolor_cap new pairs) or stale knobs.
+            from wgmath_tpu.dynamics.solver import (
+                assign_new_pair_colors,
+                transfer_pair_colors,
+            )
+
+            prev_p, prev_tag = reuse
+            mapped = transfer_pair_colors(p.body_a, p.body_b, p.valid,
+                                          prev_p.body_a, prev_p.body_b,
+                                          prev_p.valid, prev_tag[0])
+            n_new = jnp.sum((p.valid & (mapped == 0)).astype(jnp.int32))
+            knobs_ok = ((prev_tag[1] == config.gs_cmax)
+                        & (prev_tag[2] == config.max_colors))
+            cols = jax.lax.cond(
+                knobs_ok & (n_new <= config.bp_recolor_cap),
+                lambda: assign_new_pair_colors(
+                    p.body_a, p.body_b, p.valid, mapped,
+                    dyn[p.body_a], dyn[p.body_b], n_bodies,
+                    max_colors=config.max_colors,
+                    class_cap=config.gs_cmax,
+                    new_cap=config.bp_recolor_cap),
+                recolor)
         return p, (mn, mx), (cols, jnp.int32(config.gs_cmax),
                              jnp.int32(config.max_colors))
 
@@ -223,12 +291,14 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                            & (state.bp_colors[2] == config.max_colors))
             # cached pairs stay a superset of true overlaps while every AABB
             # remains inside its slack-inflated reference box
+            reuse = ((state.bp_pairs, state.bp_colors)
+                     if color_with_bp else None)
             pairs, bp_ref, bp_colors = jax.lax.cond(
                 inside,
                 lambda: (state.bp_pairs, state.bp_ref, state.bp_colors),
-                lambda: _colored_bp(mins - slack, maxs + slack))
+                lambda: _colored_bp(mins - infl, maxs + infl, reuse=reuse))
         else:
-            pairs, bp_ref, bp_colors = _colored_bp(mins - slack, maxs + slack)
+            pairs, bp_ref, bp_colors = _colored_bp(mins - infl, maxs + infl)
     else:
         pairs, bp_ref, bp_colors = _colored_bp(mins, maxs)
         bp_ref = None
