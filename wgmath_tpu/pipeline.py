@@ -46,7 +46,8 @@ class PhysicsState:
     bodies: Bodies
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
-    pair_count: jax.Array  # i32 [3] — [pairs, contacts, max GS color class]
+    pair_count: jax.Array  # i32 [4] — [pairs, contacts, max GS color
+    # class, BP-cache hit flag (1 = this frame reused the cached pair list)]
     joints: Any = None  # JointSet | None
     prev_colors: Any = None  # i32 [C] — last frame's constraint coloring
     # broad-phase temporal-coherence cache (bp_slack > 0): last pair list +
@@ -115,6 +116,9 @@ class PipelineConfig:
     # key match; greedily color up to this many new pairs sequentially. More
     # churn than this (or regrown knobs) falls back to the full recolor.
     bp_recolor_cap: int = 64
+    # profiling knob: force the BP-cache predicate to a fixed value so the
+    # hit path and the refresh path can be slope-timed in isolation.
+    bp_force: str | None = None  # None | "hit" | "miss"
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -155,7 +159,7 @@ def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.zeros(3, jnp.int32), joints)
+    return PhysicsState(bodies, shapes, None, jnp.zeros(4, jnp.int32), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -280,6 +284,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 and state.bp_ref is not None
                 and state.bp_pairs.body_a.shape[0] == config.pair_capacity
                 and (not color_with_bp or state.bp_colors is not None))
+    bp_hit = jnp.bool_(False)
     if slack > 0:
         if cache_ok:
             inside = jnp.all((mins >= state.bp_ref[0])
@@ -293,6 +298,11 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             # remains inside its slack-inflated reference box
             reuse = ((state.bp_pairs, state.bp_colors)
                      if color_with_bp else None)
+            if config.bp_force == "hit":
+                inside = jnp.bool_(True)
+            elif config.bp_force == "miss":
+                inside = jnp.bool_(False)
+            bp_hit = inside
             pairs, bp_ref, bp_colors = jax.lax.cond(
                 inside,
                 lambda: (state.bp_pairs, state.bp_ref, state.bp_colors),
@@ -384,7 +394,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         colors_in=contact_colors,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    counts = jnp.stack([pairs.count, contact_count, max_class])
+    counts = jnp.stack([pairs.count, contact_count, max_class,
+                        bp_hit.astype(jnp.int32)])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
                         pairs if config.bp_slack > 0 else None, bp_ref,
@@ -405,8 +416,8 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         or state.bp_pairs.body_a.shape[0] != config.pair_capacity
         or (color_with_bp and state.bp_colors is None))
     if (state.prev_constraints is None or state.prev_colors is None
-            or needs_bp_cache or (config.bp_slack <= 0
-                                  and state.bp_pairs is not None)):
+            or needs_bp_cache or state.pair_count.shape[0] != 4
+            or (config.bp_slack <= 0 and state.bp_pairs is not None)):
         state = step(state, params, config,
                      warmstart=state.prev_constraints is not None)
 
