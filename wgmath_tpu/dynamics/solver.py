@@ -32,6 +32,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wgmath_tpu.dynamics.body import (
     Bodies,
@@ -630,6 +631,41 @@ _SORT_FIELDS = _VIEW_FIELDS + ("body_a", "body_b", "n_rhs_wo_bias",
                                "t_rhs_wo_bias", "valid", "local_pt_a",
                                "local_pt_b", "info_dist", "info_normal_vel")
 
+# solver-read fields that stay CONSTANT across the substep loop — packed
+# into one [C, K] f32 matrix so each GS color iteration pays one
+# dynamic-slice instead of ~15 (the sweep is op-dispatch bound on TPU)
+_PACK_FIELDS = ("dir_a", "tangent_a", "im_a", "im_b", "limit",
+                "n_torque_a", "n_torque_b", "n_ii_torque_a", "n_ii_torque_b",
+                "n_r", "t_torque_a", "t_torque_b", "t_ii_torque_a",
+                "t_ii_torque_b", "t_r")
+
+
+def pack_sorted_fields(ss):
+    """Concatenate the substep-invariant solver fields into one [C, K] f32
+    matrix + a static layout map name → (col_start, tail_shape)."""
+    cols = []
+    meta = {}
+    at = 0
+    c = ss.body_a.shape[0]
+    for f in _PACK_FIELDS:
+        v = getattr(ss, f)
+        tail = v.shape[1:]
+        k = int(np.prod(tail)) if tail else 1
+        meta[f] = (at, tail)
+        cols.append(v.reshape(c, k).astype(jnp.float32))
+        at += k
+    return jnp.concatenate(cols, axis=1), meta
+
+
+def _unpack_window(win2d, meta):
+    out = {}
+    n = win2d.shape[0]
+    for f, (at, tail) in meta.items():
+        k = int(np.prod(tail)) if tail else 1
+        v = jax.lax.slice_in_dim(win2d, at, at + k, axis=1)
+        out[f] = v.reshape((n,) + tail)
+    return out
+
 
 def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
     """Gather the solver-read constraint fields into color-major order —
@@ -649,7 +685,7 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
 
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                         layout, num_colors, *, cmax: int, dim: int,
-                        shard=None):
+                        shard=None, packed_fields=None):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
@@ -692,14 +728,27 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
     dyn_b_s = jnp.any(sorted_cons.im_b != 0.0, axis=-1)
 
+    if packed_fields is not None:
+        pf2d, pf_meta = packed_fields
+
     def one_color(color, carry):
         packed, n_imp, t_imp = carry
         base = offsets[color]
         start = base + shard_off
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, lw)
         active = shard_off + slot < counts[color]
-        view = SimpleNamespace(
-            **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
+        if packed_fields is not None:
+            # one wide slice replaces ~15 per-field dynamic slices — the
+            # sweep is op-dispatch bound, not bandwidth bound
+            win2d = jax.lax.dynamic_slice_in_dim(pf2d, start, lw)
+            fields = _unpack_window(win2d, pf_meta)
+            for f in _VIEW_FIELDS:
+                if f not in fields:
+                    fields[f] = sl(getattr(sorted_cons, f))
+            view = SimpleNamespace(**fields)
+        else:
+            view = SimpleNamespace(
+                **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
         prev_n = sl(n_imp)
         prev_t = sl(t_imp)
         ba = sl(sorted_cons.body_a)
@@ -943,6 +992,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # fields sorted once, impulses carried sorted, unsorted once at end
         order_padded = layout[0]
         ss = sort_solver_fields(cons, order_padded)
+        packed_fields = pack_sorted_fields(ss)
         c_cap = cons.body_a.shape[0]
         idx_s0 = jnp.minimum(order_padded, c_cap - 1)
         dyn_a_s = jnp.any(ss.im_a != 0.0, axis=-1)
@@ -985,7 +1035,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                                         max_colors=max_colors)
         vels, n_imp_s, t_imp_s = gs_color_major_pass(
             sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_, shard=shard)
+            cmax=cmax, dim=dim_, shard=shard, packed_fields=packed_fields)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
         if joints is not None:
             jcons = remove_joint_bias(jcons)
@@ -997,7 +1047,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
         vels, n_imp_s, t_imp_s = gs_color_major_pass(
             unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_, shard=shard)
+            cmax=cmax, dim=dim_, shard=shard, packed_fields=packed_fields)
         return vels, poses, n_imp_s, t_imp_s
 
     def substep_jacobi(_, carry):

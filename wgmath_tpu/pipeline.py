@@ -115,7 +115,7 @@ class PipelineConfig:
     # refresh-path incremental recoloring: carry surviving pairs' colors by
     # key match; greedily color up to this many new pairs sequentially. More
     # churn than this (or regrown knobs) falls back to the full recolor.
-    bp_recolor_cap: int = 64
+    bp_recolor_cap: int = 128
     # profiling knob: force the BP-cache predicate to a fixed value so the
     # hit path and the refresh path can be slope-timed in isolation.
     bp_force: str | None = None  # None | "hit" | "miss"
@@ -195,8 +195,18 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     # blow up the pair list), so fast bodies stop invalidating the cache.
     if slack > 0:
         speed = jnp.linalg.norm(bodies.vels.linear, axis=-1, keepdims=True)
-        infl = slack + jnp.minimum(config.bp_vel_slack * speed,
-                                   config.bp_vel_slack_cap)  # [N, 1]
+        # QUANTIZED to 3 levels: a continuous speed-dependent inflation
+        # makes the sphere-prefilter threshold wiggle every refresh, so
+        # thousands of marginal pairs flicker in/out and the incremental
+        # recoloring path never applies (full recolor ≈ 120 ms). With
+        # discrete levels, consecutive refreshes use bitwise-identical
+        # thresholds for every body that stayed in its speed band — pair
+        # churn collapses to the genuinely moving bodies.
+        cap = config.bp_vel_slack_cap
+        t1 = 0.25 * cap / config.bp_vel_slack
+        t2 = 0.75 * cap / config.bp_vel_slack
+        infl = slack + 0.5 * cap * ((speed > t1).astype(jnp.float32)
+                                    + (speed > t2).astype(jnp.float32))
         # the sphere prefilter must admit the same drift: each center can
         # move ≤ infl per axis (= infl·√dim in distance) before a refresh
         if radii is not None:
