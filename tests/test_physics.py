@@ -796,3 +796,64 @@ def test_incremental_pair_recolor_stays_valid():
         touched = np.concatenate([a_np[sel][d[a_np[sel]]],
                                   b_np[sel][d[b_np[sel]]]])
         assert len(np.unique(touched)) == len(touched), f"color {col} clash"
+
+
+@pytest.mark.parametrize("p_max", [1, 4])
+def test_cm_gs_math_matches_row_major(p_max):
+    """The component-major GS impulse math (the Pallas sweep kernel body)
+    must reproduce solver._point_updates bit-for-bit-ish on random data."""
+    from types import SimpleNamespace
+
+    from wgmath_tpu.dynamics.gs_pallas import gs_math_block
+    from wgmath_tpu.dynamics.solver import (
+        _PACK_FIELDS,
+        _point_updates,
+        pack_sorted_fields,
+    )
+
+    rng = np.random.default_rng(7)
+    L, S, dim = 256, 2, 3
+    def r(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    view = SimpleNamespace(
+        dir_a=r(L, 3), tangent_a=r(L, S, 3), im_a=jnp.abs(r(L, 3)),
+        im_b=jnp.abs(r(L, 3)), cfm_factor=jnp.abs(r(L)) * 0.5 + 0.5,
+        limit=jnp.abs(r(L)), num_points=jnp.asarray(
+            rng.integers(0, p_max + 1, L).astype(np.int32)),
+        n_torque_a=r(L, p_max, 3), n_torque_b=r(L, p_max, 3),
+        n_ii_torque_a=r(L, p_max, 3), n_ii_torque_b=r(L, p_max, 3),
+        n_rhs=r(L, p_max), n_r=jnp.abs(r(L, p_max)),
+        t_torque_a=r(L, p_max, S, 3), t_torque_b=r(L, p_max, S, 3),
+        t_ii_torque_a=r(L, p_max, S, 3), t_ii_torque_b=r(L, p_max, S, 3),
+        t_rhs=r(L, p_max, S), t_r=jnp.abs(r(L, p_max, 3)),
+        body_a=jnp.zeros(L, jnp.int32), body_b=jnp.zeros(L, jnp.int32),
+    )
+    active = jnp.asarray(rng.random(L) > 0.2)
+    v1l, v1a, v2l, v2a = r(L, 3), r(L, 3), r(L, 3), r(L, 3)
+    prev_n = r(L, p_max)
+    prev_t = r(L, p_max, S)
+
+    want_n, want_t, w1l, w1a, w2l, w2a = _point_updates(
+        view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
+
+    packed2d, meta = pack_sorted_fields(view)
+    p1 = jnp.concatenate([v1l, v1a], axis=-1)
+    p2 = jnp.concatenate([v2l, v2a], axis=-1)
+    got_n, got_t, d1, d2 = gs_math_block(
+        packed2d, meta, view, active, p1, p2, prev_n, prev_t,
+        p_max=p_max, s_len=S, use_pallas=False)
+
+    # reduction-order reassociation across the chained point loop gives
+    # ~3e-5 relative wiggle at p_max=4 — same math, different sum order
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1),
+                               np.concatenate([np.asarray(w1l - v1l),
+                                               np.asarray(w1a - v1a)], -1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2),
+                               np.concatenate([np.asarray(w2l - v2l),
+                                               np.asarray(w2a - v2a)], -1),
+                               rtol=1e-4, atol=1e-5)

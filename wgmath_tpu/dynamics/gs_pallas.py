@@ -1,0 +1,229 @@
+"""Fused Pallas kernel for the GS color-iteration impulse math (3D).
+
+The per-color Gauss-Seidel body (``solver._point_updates`` + velocity-delta
+assembly) is ~55 small XLA ops over [window, <=8]-shaped arrays; on TPU the
+cost is per-op dispatch overhead, not arithmetic (~80+ us per color
+iteration at window 4096). This module runs the same math as ONE Pallas
+VPU kernel in component-major layout ([rows, window] — the window rides the
+128-lane axis), with the XLA-side gathers/scatters unchanged.
+
+The math is a transcription of ``solver._point_updates`` (3D / 2-tangent
+case; ≙ solver.wgsl step_gauss_seidel:579-660). ``_cm_point_updates`` is
+pure jnp so the identical code runs inside the kernel on TPU and as a plain
+XLA function elsewhere — and is unit-tested against ``_point_updates``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgmath_tpu.core.dispatch import on_tpu, pallas_interpret
+
+
+def _cm_point_updates(f, v1l, v1a, v2l, v2a, prev_n, prev_t,
+                      p_max: int, s_len: int):
+    """Component-major impulse updates.
+
+    ``f``: dict of component-major fields —
+      dir_a [3,L], tangent_a [S,3,L], im_a/im_b [3,L], cfm [1,L],
+      limit [1,L], nump [1,L] (f32), active [1,L] (f32 0/1),
+      n_torque_a/b [P,3,L], n_ii_torque_a/b [P,3,L], n_rhs/n_r [P,L],
+      t_torque_a/b [P,S,3,L], t_ii_torque_a/b [P,S,3,L], t_rhs [P,S,L],
+      t_r [P,3,L].
+    Velocities / impulses: v1l,v1a,v2l,v2a [3,L]; prev_n [P,L],
+    prev_t [P,S,L]. Returns (new_n [P,L], new_t [P,S,L], v1l', v1a',
+    v2l', v2a').
+    """
+    dir_a = f["dir_a"]
+    tang = f["tangent_a"]
+    im_a, im_b = f["im_a"], f["im_b"]
+    cfm = f["cfm"]
+    friction = f["limit"]
+    new_n, new_t = [], []
+    for k in range(p_max):
+        pt_active = (f["active"] > 0.5) & (f["nump"] > k)  # [1, L] bool
+
+        td_a = f["n_torque_a"][k]
+        td_b = f["n_torque_b"][k]
+        iitd_a = f["n_ii_torque_a"][k]
+        iitd_b = f["n_ii_torque_b"][k]
+        rhs = f["n_rhs"][k:k + 1]
+        r = f["n_r"][k:k + 1]
+        prev = prev_n[k:k + 1]
+
+        dvel = (jnp.sum(dir_a * v1l, axis=0, keepdims=True)
+                + jnp.sum(td_a * v1a, axis=0, keepdims=True)
+                - jnp.sum(dir_a * v2l, axis=0, keepdims=True)
+                + jnp.sum(td_b * v2a, axis=0, keepdims=True) + rhs)
+        cand = cfm * jnp.maximum(prev - r * dvel, 0.0)
+        new_imp = jnp.where(pt_active, cand, prev)
+        d_imp = new_imp - prev  # [1, L]
+        v1l = v1l + dir_a * (im_a * d_imp)
+        v1a = v1a + iitd_a * d_imp
+        v2l = v2l - dir_a * (im_b * d_imp)
+        v2a = v2a + iitd_b * d_imp
+        limit = new_imp * friction  # [1, L]
+        new_n.append(new_imp)
+
+        t_rhs = f["t_rhs"][k]  # [S, L]
+        t_r = f["t_r"][k]  # [3, L]
+        t_prev = prev_t[k]  # [S, L]
+        t0, t1 = tang[0], tang[1]  # [3, L]
+        ta0, ta1 = f["t_torque_a"][k, 0], f["t_torque_a"][k, 1]
+        tb0, tb1 = f["t_torque_b"][k, 0], f["t_torque_b"][k, 1]
+        ia0, ia1 = f["t_ii_torque_a"][k, 0], f["t_ii_torque_a"][k, 1]
+        ib0, ib1 = f["t_ii_torque_b"][k, 0], f["t_ii_torque_b"][k, 1]
+
+        d0 = (jnp.sum(t0 * v1l, axis=0, keepdims=True)
+              + jnp.sum(ta0 * v1a, axis=0, keepdims=True)
+              - jnp.sum(t0 * v2l, axis=0, keepdims=True)
+              + jnp.sum(tb0 * v2a, axis=0, keepdims=True)
+              + t_rhs[0:1])
+        d1 = (jnp.sum(t1 * v1l, axis=0, keepdims=True)
+              + jnp.sum(ta1 * v1a, axis=0, keepdims=True)
+              - jnp.sum(t1 * v2l, axis=0, keepdims=True)
+              + jnp.sum(tb1 * v2a, axis=0, keepdims=True)
+              + t_rhs[1:2])
+        d00, d11, d01 = d0 * d0, d1 * d1, d0 * d1
+        lhs = d00 * t_r[0:1] + d11 * t_r[1:2] + d01 * t_r[2:3]
+        ok = jnp.abs(lhs) > 1e-20  # maybe_inv semantics
+        inv_lhs = (d00 + d11) * jnp.where(ok, 1.0 / jnp.where(ok, lhs, 1.0),
+                                          0.0)
+        delta = jnp.concatenate([inv_lhs * d0, inv_lhs * d1], axis=0)
+        raw = t_prev - delta  # [S, L]
+        # cap_magnitude over the S axis (axis 0 here)
+        n_ = jnp.sqrt(jnp.sum(raw * raw, axis=0, keepdims=True))
+        scale = jnp.where(n_ > limit, limit / jnp.maximum(n_, 1e-30), 1.0)
+        cand_t = raw * scale
+        t_new = jnp.where(pt_active, cand_t, t_prev)
+        dl = t_new - t_prev  # [S, L]
+        lin_dir = t0 * dl[0:1] + t1 * dl[1:2]
+        v1l = v1l + lin_dir * im_a
+        v1a = v1a + ia0 * dl[0:1] + ia1 * dl[1:2]
+        v2l = v2l - lin_dir * im_b
+        v2a = v2a + ib0 * dl[0:1] + ib1 * dl[1:2]
+        new_t.append(t_new)
+
+    return (jnp.concatenate(new_n, axis=0),
+            jnp.stack(new_t, axis=0), v1l, v1a, v2l, v2a)
+
+
+def _cm_fields_from_refs(win_ref, meta, extras, p_max, s_len):
+    """Build the component-major field dict from the transposed packed
+    window [K, L] (+ transposed mutable extras)."""
+    f = {}
+
+    def rows(name, shape):
+        a0, tail = meta[name]
+        k = int(np.prod(tail)) if tail else 1
+        v = win_ref[a0:a0 + k, :]
+        return v.reshape(shape + (v.shape[-1],))
+
+    L = None
+    f["dir_a"] = rows("dir_a", (3,))
+    f["tangent_a"] = rows("tangent_a", (s_len, 3))
+    f["im_a"] = rows("im_a", (3,))
+    f["im_b"] = rows("im_b", (3,))
+    f["limit"] = rows("limit", (1,))
+    f["n_torque_a"] = rows("n_torque_a", (p_max, 3))
+    f["n_torque_b"] = rows("n_torque_b", (p_max, 3))
+    f["n_ii_torque_a"] = rows("n_ii_torque_a", (p_max, 3))
+    f["n_ii_torque_b"] = rows("n_ii_torque_b", (p_max, 3))
+    f["n_r"] = rows("n_r", (p_max,))
+    f["t_torque_a"] = rows("t_torque_a", (p_max, s_len, 3))
+    f["t_torque_b"] = rows("t_torque_b", (p_max, s_len, 3))
+    f["t_ii_torque_a"] = rows("t_ii_torque_a", (p_max, s_len, 3))
+    f["t_ii_torque_b"] = rows("t_ii_torque_b", (p_max, s_len, 3))
+    f["t_r"] = rows("t_r", (p_max, 3))
+    f["cfm"], f["n_rhs"], f["t_rhs"], f["nump"], f["active"] = extras
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("p_max", "s_len", "meta_t"))
+def _gs_math_xla(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T,
+                 prev_nT, prev_tT, *, p_max, s_len, meta_t):
+    meta = dict(meta_t)
+    extras = (cfmT, n_rhsT, t_rhsT.reshape(p_max, s_len, -1), numpT, activeT)
+    f = _cm_fields_from_refs(winT, meta, extras, p_max, s_len)
+    v1l, v1a = p1T[:3], p1T[3:6]
+    v2l, v2a = p2T[:3], p2T[3:6]
+    new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
+        f, v1l, v1a, v2l, v2a, prev_nT, prev_tT.reshape(p_max, s_len, -1),
+        p_max, s_len)
+    d1 = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
+    d2 = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
+    return new_n, new_t.reshape(p_max * s_len, -1), d1, d2
+
+
+def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
+                         p1T, p2T, prev_nT, prev_tT, *, p_max, s_len,
+                         meta_t):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = winT.shape[1]
+    meta = dict(meta_t)
+
+    def kernel(win_ref, cfm_ref, nrhs_ref, trhs_ref, nump_ref, act_ref,
+               p1_ref, p2_ref, pn_ref, pt_ref,
+               nn_ref, nt_ref, d1_ref, d2_ref):
+        extras = (cfm_ref[:, :], nrhs_ref[:, :],
+                  trhs_ref[:, :].reshape(p_max, s_len, L),
+                  nump_ref[:, :], act_ref[:, :])
+        f = _cm_fields_from_refs(win_ref[:, :], meta, extras, p_max, s_len)
+        p1 = p1_ref[:, :]
+        p2 = p2_ref[:, :]
+        v1l, v1a = p1[:3], p1[3:6]
+        v2l, v2a = p2[:3], p2[3:6]
+        new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
+            f, v1l, v1a, v2l, v2a, pn_ref[:, :],
+            pt_ref[:, :].reshape(p_max, s_len, L), p_max, s_len)
+        nn_ref[:, :] = new_n
+        nt_ref[:, :] = new_t.reshape(p_max * s_len, L)
+        d1_ref[:, :] = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
+        d2_ref[:, :] = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((p_max, L), jnp.float32),
+                   jax.ShapeDtypeStruct((p_max * s_len, L), jnp.float32),
+                   jax.ShapeDtypeStruct((6, L), jnp.float32),
+                   jax.ShapeDtypeStruct((6, L), jnp.float32)),
+        in_specs=[spec] * 10,
+        out_specs=(spec, spec, spec, spec),
+        interpret=pallas_interpret(),
+    )(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T, prev_nT, prev_tT)
+
+
+def gs_math_block(win2d, meta, view, active, p1, p2, prev_n, prev_t,
+                  *, p_max: int, s_len: int, use_pallas: bool | None = None):
+    """Row-major in/out wrapper around the component-major math.
+
+    ``win2d`` [L, K_pack] (the packed invariant fields), ``view`` carries
+    the mutable per-substep fields (cfm_factor, n_rhs, t_rhs, num_points),
+    ``p1``/``p2`` [L, 6] gathered velocities. Returns row-major
+    ``(new_n [L,P], new_t [L,P,S], d1 [L,6], d2 [L,6])``.
+    """
+    L = win2d.shape[0]
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    winT = win2d.T
+    cfmT = view.cfm_factor.reshape(L, 1).T
+    n_rhsT = view.n_rhs.reshape(L, p_max).T
+    t_rhsT = view.t_rhs.reshape(L, p_max * s_len).T
+    numpT = view.num_points.astype(jnp.float32).reshape(L, 1).T
+    activeT = active.astype(jnp.float32).reshape(L, 1).T
+    p1T, p2T = p1.T, p2.T
+    prev_nT = prev_n.reshape(L, p_max).T
+    prev_tT = prev_t.reshape(L, p_max * s_len).T
+    meta_t = tuple(sorted((k, (a, tuple(t))) for k, (a, t) in meta.items()))
+    fn = _gs_math_pallas_call if use_pallas else _gs_math_xla
+    new_nT, new_tT, d1T, d2T = fn(
+        winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T, prev_nT,
+        prev_tT, p_max=p_max, s_len=s_len, meta_t=meta_t)
+    return (new_nT.T, new_tT.T.reshape(L, p_max, s_len), d1T.T, d2T.T)

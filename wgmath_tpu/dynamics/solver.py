@@ -461,8 +461,12 @@ def _build_sides(body_a, body_b, dyn_a, dyn_b, valid, n: int):
     order = jnp.argsort(key).astype(jnp.int32)
     sorted_keys = key[order]
     bodies_idx = jnp.arange(n, dtype=jnp.int32)
-    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left")
-    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right")
+    # method="sort": the default binary-search lowering is pathological on
+    # TPU (CLAUDE.md); the sort-based variant rides the fast lax.sort path
+    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left",
+                            method="sort")
+    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right",
+                             method="sort")
     return order, left.astype(jnp.int32), right.astype(jnp.int32)
 
 
@@ -521,8 +525,12 @@ def build_sorted_sides(cons: ContactConstraints, n: int):
     order = jnp.argsort(key).astype(jnp.int32)
     sorted_keys = key[order]
     bodies_idx = jnp.arange(n, dtype=jnp.int32)
-    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left")
-    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right")
+    # method="sort": the default binary-search lowering is pathological on
+    # TPU (CLAUDE.md); the sort-based variant rides the fast lax.sort path
+    left = jnp.searchsorted(sorted_keys, bodies_idx, side="left",
+                            method="sort")
+    right = jnp.searchsorted(sorted_keys, bodies_idx, side="right",
+                             method="sort")
     return order, left.astype(jnp.int32), right.astype(jnp.int32)
 
 
@@ -570,6 +578,10 @@ def warmstart_apply_sorted(cons: ContactConstraints, vels: Velocity,
 # ---------------------------------------------------------------------------
 # Colored Gauss-Seidel pass (≙ step_gauss_seidel per color)
 # ---------------------------------------------------------------------------
+
+# A/B switch for the fused component-major impulse-math kernel (gs_pallas);
+# flip off to fall back to the op-per-op XLA math on TPU.
+GS_CM_KERNEL = True
 
 
 def gs_colored_pass(cons: ContactConstraints, vels: Velocity,
@@ -667,6 +679,52 @@ def _unpack_window(win2d, meta):
     return out
 
 
+_F32_SORT_FIELDS = _PACK_FIELDS + (
+    "cfm_factor", "n_rhs", "t_rhs", "n_rhs_wo_bias", "t_rhs_wo_bias",
+    "local_pt_a", "local_pt_b", "info_dist", "info_normal_vel")
+
+
+def sort_solver_fields_packed(cons: ContactConstraints,
+                              order_padded: jax.Array):
+    """Color-major sort of every solver-read field via ONE row gather.
+
+    All f32 fields are flattened into one [C, K] matrix first, so the sort
+    costs a single K-wide gather instead of ~20 per-field gathers (row count
+    dominates TPU gather cost). The ``_PACK_FIELDS`` prefix of the matrix
+    doubles as the GS sweep's per-color window block. Returns
+    ``(ss_namespace, (packed2d, meta))``."""
+    from types import SimpleNamespace
+
+    c = cons.body_a.shape[0]
+    idx = jnp.minimum(order_padded, c - 1)
+    pad_invalid = order_padded >= c
+    cols, meta, at = [], {}, 0
+    for f in _F32_SORT_FIELDS:
+        v = getattr(cons, f)
+        tail = v.shape[1:]
+        k = int(np.prod(tail)) if tail else 1
+        meta[f] = (at, tail)
+        cols.append(v.reshape(c, k).astype(jnp.float32))
+        at += k
+    big = jnp.concatenate(cols, axis=1)[idx]  # the ONE gather
+    n = big.shape[0]
+    fields = {}
+    for f, (a0, tail) in meta.items():
+        k = int(np.prod(tail)) if tail else 1
+        fields[f] = jax.lax.slice_in_dim(big, a0, a0 + k,
+                                         axis=1).reshape((n,) + tail)
+    fields["body_a"] = cons.body_a[idx]
+    fields["body_b"] = cons.body_b[idx]
+    fields["num_points"] = jnp.where(pad_invalid, 0, cons.num_points[idx])
+    fields["valid"] = jnp.where(pad_invalid, False, cons.valid[idx])
+    ss = SimpleNamespace(**fields)
+    k_pack = meta[_PACK_FIELDS[-1]][0] + max(
+        int(np.prod(meta[_PACK_FIELDS[-1]][1])), 1)
+    packed2d = jax.lax.slice_in_dim(big, 0, k_pack, axis=1)
+    pack_meta = {f: meta[f] for f in _PACK_FIELDS}
+    return ss, (packed2d, pack_meta)
+
+
 def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
     """Gather the solver-read constraint fields into color-major order —
     once per relinearization, so every GS color window below is a contiguous
@@ -722,7 +780,7 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
     packed0 = jnp.concatenate(
-        [packed0, jnp.zeros((lw, dim + adim), packed0.dtype)])
+        [packed0, jnp.zeros((2 * lw, dim + adim), packed0.dtype)])
     # same-color constraints share no *dynamic* body (coloring predicate:
     # any(im != 0)); only dynamic-body writes keep their real index
     dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
@@ -730,6 +788,12 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
 
     if packed_fields is not None:
         pf2d, pf_meta = packed_fields
+    from wgmath_tpu.core.dispatch import on_tpu
+
+    s_len_ = sorted_cons.tangent_a.shape[-2]
+    # fused math kernel: 3D only, unsharded, packed fields present, real TPU
+    use_cm_kernel = (GS_CM_KERNEL and packed_fields is not None and dim == 3
+                     and axis_name is None and on_tpu())
 
     def one_color(color, carry):
         packed, n_imp, t_imp = carry
@@ -753,41 +817,53 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         prev_t = sl(t_imp)
         ba = sl(sorted_cons.body_a)
         bb = sl(sorted_cons.body_b)
-        p1 = packed[ba]
-        p2 = packed[bb]
+        # ONE merged gather for both sides: gather/scatter cost on TPU is
+        # dominated by fixed per-op overhead, so 1x8192 rows beats 2x4096
+        pp = packed[jnp.concatenate([ba, bb])]
+        p1, p2 = pp[:lw], pp[lw:]
         v1l, v1a = p1[:, :dim], p1[:, dim:]
         v2l, v2a = p2[:, :dim], p2[:, dim:]
         if ang2d:
             v1a = v1a[:, 0]
             v2a = v2a[:, 0]
-        i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
-        new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
-            view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max, dim)
+        if use_cm_kernel:
+            # fused component-major impulse math: one Pallas VPU kernel
+            # replaces ~55 dispatch-bound XLA ops per color iteration
+            from wgmath_tpu.dynamics.gs_pallas import gs_math_block
+
+            new_n, new_t, d1, d2 = gs_math_block(
+                win2d, pf_meta, view, active, p1, p2, prev_n, prev_t,
+                p_max=p_max, s_len=s_len_)
+        else:
+            i1l, i1a, i2l, i2a = v1l, v1a, v2l, v2a
+            new_n, new_t, v1l, v1a, v2l, v2a = _point_updates(
+                view, active, v1l, v1a, v2l, v2a, prev_n, prev_t, p_max,
+                dim)
+            if ang2d:
+                v1a, i1a = v1a[:, None], i1a[:, None]
+                v2a, i2a = v2a[:, None], i2a[:, None]
+            d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
+            d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
         trash = n_bodies + slot  # disjoint scratch row per slot → unique
         ba_sel = jnp.where(active & sl(dyn_a_s), ba, trash)
-        bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash)
-        if ang2d:
-            v1a, i1a = v1a[:, None], i1a[:, None]
-            v2a, i2a = v2a[:, None], i2a[:, None]
-        d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
-        d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
+        bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash + lw)
+        sel2 = jnp.concatenate([ba_sel, bb_sel])
+        d12 = jnp.concatenate([d1, d2])
         if axis_name is None:
             n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
                                                         start, 0)
             t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
                                                         start, 0)
-            packed = packed.at[ba_sel].add(d1, mode="promise_in_bounds",
-                                           unique_indices=True)
-            packed = packed.at[bb_sel].add(d2, mode="promise_in_bounds",
-                                           unique_indices=True)
+            # one merged scatter: a-side and b-side bodies within a color
+            # are ALL distinct (disjoint dynamic bodies; trash rows split)
+            packed = packed.at[sel2].add(d12, mode="promise_in_bounds",
+                                         unique_indices=True)
         else:
             # every device owns a disjoint slice of the window: one psum of
             # the (dense-represented) deltas reproduces sequential GS
             delta = jnp.zeros_like(packed)
-            delta = delta.at[ba_sel].add(d1, mode="promise_in_bounds",
-                                         unique_indices=True)
-            delta = delta.at[bb_sel].add(d2, mode="promise_in_bounds",
-                                         unique_indices=True)
+            delta = delta.at[sel2].add(d12, mode="promise_in_bounds",
+                                       unique_indices=True)
             delta = delta.at[n_bodies:].set(0.0)
             packed = packed + jax.lax.psum(delta, axis_name)
             # impulse deltas ride the same pattern (window-sized psum) so
@@ -898,7 +974,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
           joints=None, gs_cmax: int = 0, prev_colors=None,
-          colors_in=None, shard=None):
+          colors_in=None, shard=None, stable_slots: bool = False):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -936,12 +1012,20 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             == _keys(warmstart_from.body_a, warmstart_from.body_b,
                      warmstart_from.valid))
     if warmstart_from is not None:
-        # always match by pair key: even when the pair set is stable, mesh
-        # manifolds re-pick their K-best triangles per frame, so a slotwise
-        # impulse copy can pair an impulse with a different anchor (measured
-        # as residual jitter on trimesh resting tests); the sort+match costs
-        # ~1 ms and is robust
-        cons = transfer_warmstart(cons, warmstart_from, params)
+        # By-key matching is the robust default: even when the pair set is
+        # stable, MESH manifolds re-pick their K-best triangles per frame,
+        # so a slotwise impulse copy can pair an impulse with a different
+        # anchor (measured as residual jitter on trimesh resting tests).
+        # Mesh-free scenes (``stable_slots``) skip the sort+match (~5 ms at
+        # 32k constraints) whenever the contact keys are bitwise-stable:
+        # slot i is then the SAME (body_a, body_b) manifold as last frame.
+        if stable_slots and same is not None:
+            cons = jax.lax.cond(
+                same,
+                lambda: slotwise_warmstart(cons, warmstart_from, params),
+                lambda: transfer_warmstart(cons, warmstart_from, params))
+        else:
+            cons = transfer_warmstart(cons, warmstart_from, params)
 
     dynamic = bodies.is_dynamic()
     # cleanup (solver.wgsl:194-208): dynamic bodies start from their velocity
@@ -991,8 +1075,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # everything below lives in color-sorted space for the whole solve:
         # fields sorted once, impulses carried sorted, unsorted once at end
         order_padded = layout[0]
-        ss = sort_solver_fields(cons, order_padded)
-        packed_fields = pack_sorted_fields(ss)
+        ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
         c_cap = cons.body_a.shape[0]
         idx_s0 = jnp.minimum(order_padded, c_cap - 1)
         dyn_a_s = jnp.any(ss.im_a != 0.0, axis=-1)
@@ -1099,6 +1182,26 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     return poses, vels, cons, max_class, colors_out
 
 
+def slotwise_warmstart(cons: ContactConstraints, prev: ContactConstraints,
+                       params: SimParams) -> ContactConstraints:
+    """Impulse carry-over for the bitwise-stable contact-set case: slot i
+    holds the same (body_a, body_b) manifold as last frame, so the by-key
+    sort+match collapses to a masked scale-and-copy."""
+    ws = params.warmstart_coefficient
+    v = cons.valid
+    return dataclasses.replace(
+        cons,
+        n_impulse=jnp.where(v[:, None], prev.n_impulse * ws, cons.n_impulse),
+        n_impulse_jacobi=jnp.where(v[:, None], prev.n_impulse_jacobi * ws,
+                                   cons.n_impulse_jacobi),
+        t_impulse=jnp.where(v[:, None, None], prev.t_impulse * ws,
+                            cons.t_impulse),
+        t_impulse_jacobi=jnp.where(v[:, None, None],
+                                   prev.t_impulse_jacobi * ws,
+                                   cons.t_impulse_jacobi),
+    )
+
+
 def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,
                        params: SimParams) -> ContactConstraints:
     """Frame-to-frame impulse transfer (≙ dynamics/warmstart.rs:36-97):
@@ -1121,7 +1224,7 @@ def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,
     order = jnp.argsort(key_prev)
     sorted_prev = key_prev[order]
     key_new = pack(cons.body_a, cons.body_b, cons.valid)
-    pos = jnp.searchsorted(sorted_prev, key_new)
+    pos = jnp.searchsorted(sorted_prev, key_new, method="sort")
     pos = jnp.clip(pos, 0, cnew - 1)
     hit = (sorted_prev[pos] == key_new) & cons.valid
     src = order[pos]

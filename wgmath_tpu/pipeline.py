@@ -402,6 +402,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         gs_cmax=config.gs_cmax,
         prev_colors=state.prev_colors if warmstart else None,
         colors_in=contact_colors,
+        stable_slots=not _has_mesh(state.shapes),
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.stack([pairs.count, contact_count, max_class,
