@@ -34,7 +34,7 @@ from wgmath_tpu.pipeline import PipelineConfig, step, step_checked  # noqa: E402
 from wgmath_tpu.utils import checkpoint  # noqa: E402
 
 CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    ".settled_10k_v3.pkl")  # v3: ball_pit scene
+                    ".settled_10k_v4.pkl")  # v4: 1.5x capacity buckets
 
 
 def settled_state():
@@ -49,7 +49,7 @@ def settled_state():
     config = PipelineConfig(
         pair_capacity=4096, contact_capacity=2048, max_colors=16,
         broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
-        bc_pair_capacity=4096,
+        bc_pair_capacity=4096, gs_tail_window=512,
         manifold_points=auto_manifold_points(
             state0.shapes, 3, dynamic=np.asarray(state0.bodies.is_dynamic())))
     if os.path.exists(CKPT) and "--resettle" not in sys.argv:
@@ -222,7 +222,7 @@ def main():
                     acc = (acc + jnp.sum(ve.linear) * 1e-9
                            + jnp.sum(po.translation) * 1e-9
                            + jnp.sum(cons.n_impulse) * 1e-9
-                           + mc.astype(jnp.float32) * 1e-9)
+                           + jnp.sum(mc.astype(jnp.float32)) * 1e-9)
                     return acc, ve
                 acc, _ = jax.lax.fori_loop(0, k, body, (0.0, bodies.vels))
                 return acc

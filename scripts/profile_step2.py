@@ -191,7 +191,7 @@ def main():
                     acc = (acc + jnp.sum(ve.linear) * 1e-9
                            + jnp.sum(po.translation) * 1e-9
                            + jnp.sum(cons.n_impulse) * 1e-9
-                           + mc.astype(jnp.float32) * 1e-9)
+                           + jnp.sum(mc.astype(jnp.float32)) * 1e-9)
                     return acc, ve
                 acc, _ = jax.lax.fori_loop(0, k, body, (0.0, bodies.vels))
                 return acc

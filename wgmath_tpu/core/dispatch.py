@@ -37,12 +37,20 @@ def next_power_of_two(n: int) -> int:
 
 
 def capacity_bucket(n: int, *, floor: int = 1024) -> int:
-    """Smallest power-of-two capacity >= max(n, floor).
+    """Smallest capacity bucket >= max(n, floor), from the 1.5x-granular
+    ladder {1024·2^k, 1536·2^k} = 1024, 1536, 2048, 3072, 4096, 6144, ...
 
-    Default floor matches the reference's 1024-element default contact-buffer
-    allocations (wgrapier pipeline.rs:477+).
+    Pure power-of-two buckets (≙ the reference's next_power_of_two
+    reallocation, pipeline.rs:505-545) overshoot by up to 2x, and every
+    capacity-sized pass (broad phase, coloring, narrow phase, GS windows)
+    pays for the overshoot every frame; the intermediate 1.5x buckets cap
+    the waste at 50% for one extra recompile step during growth.
     """
-    return max(next_power_of_two(max(int(n), 1)), floor)
+    n = max(int(n), floor, 1)
+    p = next_power_of_two(n)
+    if p // 2 * 3 // 2 >= n and p // 2 * 3 // 2 >= floor:
+        return p // 2 * 3 // 2
+    return p
 
 
 @functools.cache

@@ -743,7 +743,7 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
 
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                         layout, num_colors, *, cmax: int, dim: int,
-                        shard=None, packed_fields=None):
+                        shard=None, packed_fields=None, color_lo=1):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
@@ -885,7 +885,7 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         return packed, n_imp, t_imp
 
     packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
-        1, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
+        color_lo, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
     packed = packed[:n_bodies]
     ang_out = packed[:, dim:]
     if ang2d:
@@ -974,7 +974,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           max_colors: int = 32, max_per_body: int = 32,
           warmstart_from: ContactConstraints | None = None,
           joints=None, gs_cmax: int = 0, prev_colors=None,
-          colors_in=None, shard=None, stable_slots: bool = False):
+          colors_in=None, shard=None, stable_slots: bool = False,
+          gs_tail_window: int = 0, gs_split: int = 8):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -1091,6 +1092,26 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         )
 
     dim_ = dim
+    # split-window sweep: the claim-capped coloring front-loads big color
+    # classes, so the tail colors (tiny classes) sweep through a narrower
+    # window — total window slots drop ~30% at 13 colors (the tail-window
+    # overflow signal below lets the host regrow gs_tail_window)
+    use_tail = (not use_jacobi and gs_tail_window
+                and gs_tail_window < cmax and shard is None)
+
+    def run_sweep(cons_ns, vels, ni, ti):
+        if not use_tail:
+            return gs_color_major_pass(
+                cons_ns, vels, ni, ti, layout, num_colors, cmax=cmax,
+                dim=dim_, shard=shard, packed_fields=packed_fields)
+        head_hi = jnp.minimum(num_colors, gs_split)
+        vels, ni, ti = gs_color_major_pass(
+            cons_ns, vels, ni, ti, layout, head_hi, cmax=cmax, dim=dim_,
+            shard=shard, packed_fields=packed_fields)
+        return gs_color_major_pass(
+            cons_ns, vels, ni, ti, layout, num_colors,
+            cmax=gs_tail_window, dim=dim_, shard=shard,
+            packed_fields=packed_fields, color_lo=gs_split + 1)
 
     import types as _types
 
@@ -1116,9 +1137,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         if joints is not None:
             vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
                                         max_colors=max_colors)
-        vels, n_imp_s, t_imp_s = gs_color_major_pass(
-            sorted_cons, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_, shard=shard, packed_fields=packed_fields)
+        vels, n_imp_s, t_imp_s = run_sweep(sorted_cons, vels,
+                                           n_imp_s, t_imp_s)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com, sub.dt)
         if joints is not None:
             jcons = remove_joint_bias(jcons)
@@ -1128,9 +1148,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         unbiased.n_rhs = sorted_cons.n_rhs_wo_bias
         unbiased.t_rhs = sorted_cons.t_rhs_wo_bias
         unbiased.cfm_factor = jnp.ones_like(sorted_cons.cfm_factor)
-        vels, n_imp_s, t_imp_s = gs_color_major_pass(
-            unbiased, vels, n_imp_s, t_imp_s, layout, num_colors,
-            cmax=cmax, dim=dim_, shard=shard, packed_fields=packed_fields)
+        vels, n_imp_s, t_imp_s = run_sweep(unbiased, vels,
+                                           n_imp_s, t_imp_s)
         return vels, poses, n_imp_s, t_imp_s
 
     def substep_jacobi(_, carry):
@@ -1168,16 +1187,21 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         cons = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
     # largest color-class size (0 when jacobi): host grows gs_cmax on overflow
     if use_jacobi:
-        max_class = jnp.int32(0)
+        max_class = jnp.zeros(2, jnp.int32)
         colors_out = jnp.zeros_like(cons.body_a)
     else:
         _, _, class_counts = layout
-        max_class = jnp.max(class_counts[1:max_colors + 1])
+        head = jnp.max(class_counts[1:max_colors + 1])
         # uncolored residue (class_cap regime): segment 0 of the layout was
         # skipped this frame — report it through max_class so the host
         # regrows gs_cmax (bigger cap ⇒ fewer colors ⇒ residue vanishes)
-        max_class = max_class + jnp.where(class_counts[0] > 0,
-                                          cmax + class_counts[0], 0)
+        head = head + jnp.where(class_counts[0] > 0,
+                                cmax + class_counts[0], 0)
+        # tail-window overflow: the largest class past the split color must
+        # fit gs_tail_window (0 when the split sweep is off)
+        tail = (jnp.max(class_counts[gs_split + 1:max_colors + 1])
+                if use_tail else jnp.int32(0))
+        max_class = jnp.stack([head, jnp.int32(tail)])
         colors_out = colors
     return poses, vels, cons, max_class, colors_out
 

@@ -46,8 +46,9 @@ class PhysicsState:
     bodies: Bodies
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
-    pair_count: jax.Array  # i32 [4] — [pairs, contacts, max GS color
-    # class, BP-cache hit flag (1 = this frame reused the cached pair list)]
+    pair_count: jax.Array  # i32 [5] — [pairs, contacts, max GS color
+    # class, BP-cache hit flag (1 = this frame reused the cached pair
+    # list), max tail color class (split-window sweep overflow signal)]
     joints: Any = None  # JointSet | None
     prev_colors: Any = None  # i32 [C] — last frame's constraint coloring
     # broad-phase temporal-coherence cache (bp_slack > 0): last pair list +
@@ -119,6 +120,10 @@ class PipelineConfig:
     # profiling knob: force the BP-cache predicate to a fixed value so the
     # hit path and the refresh path can be slope-timed in isolation.
     bp_force: str | None = None  # None | "hit" | "miss"
+    # split-window GS sweep: colors past gs_split use this (smaller) window;
+    # 0 = single-window sweep. Host-grown via the tail-overflow signal.
+    gs_tail_window: int = 0
+    gs_split: int = 8
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -159,7 +164,7 @@ def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.zeros(4, jnp.int32), joints)
+    return PhysicsState(bodies, shapes, None, jnp.zeros(5, jnp.int32), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -403,10 +408,12 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         prev_colors=state.prev_colors if warmstart else None,
         colors_in=contact_colors,
         stable_slots=not _has_mesh(state.shapes),
+        gs_tail_window=config.gs_tail_window,
+        gs_split=config.gs_split,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    counts = jnp.stack([pairs.count, contact_count, max_class,
-                        bp_hit.astype(jnp.int32)])
+    counts = jnp.stack([pairs.count, contact_count, max_class[0],
+                        bp_hit.astype(jnp.int32), max_class[1]])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
                         pairs if config.bp_slack > 0 else None, bp_ref,
@@ -427,7 +434,7 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         or state.bp_pairs.body_a.shape[0] != config.pair_capacity
         or (color_with_bp and state.bp_colors is None))
     if (state.prev_constraints is None or state.prev_colors is None
-            or needs_bp_cache or state.pair_count.shape[0] != 4
+            or needs_bp_cache or state.pair_count.shape[0] != 5
             or (config.bp_slack <= 0 and state.bp_pairs is not None)):
         state = step(state, params, config,
                      warmstart=state.prev_constraints is not None)
@@ -460,6 +467,9 @@ def step_checked(state: PhysicsState, params: SimParams,
         regrow["contact_capacity"] = capacity_bucket(int(counts[1]))
     if config.gs_cmax and int(counts[2]) > config.gs_cmax:
         regrow["gs_cmax"] = capacity_bucket(int(counts[2]), floor=256)
+    if (config.gs_tail_window and len(counts) > 4
+            and int(counts[4]) > config.gs_tail_window):
+        regrow["gs_tail_window"] = capacity_bucket(int(counts[4]), floor=256)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:
