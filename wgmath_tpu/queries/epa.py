@@ -73,10 +73,12 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
         nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
         n = n / jnp.maximum(nn, 1e-30)
         d = jnp.sum(n * v0, axis=-1)
-        # orient outward (origin inside): d >= 0
-        flip = d < 0.0
-        n = jnp.where(flip[..., None], -n, n)
-        d = jnp.where(flip, -d, d)
+        # d < 0 = the polytope does not yet contain the origin on that
+        # side (collapsed seeds on thin CSOs). Trust the outward WINDING
+        # instead of flipping: expanding at the most-violated face along
+        # its true outward normal recovers the missing hull region —
+        # flipping silently inverted the expansion direction and returned
+        # a wrong (far-side) penetration for those cases.
         degen = nn[..., 0] < 1e-12
         d = jnp.where(fvalid & ~degen, d, _BIG)
         return n, d
@@ -177,4 +179,112 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
     # n is the min-translation direction for the CSO (A−B): moving A by −n·depth
     # separates; the A→B contact normal is therefore −n? The MTV on the CSO
     # points from the origin toward the boundary: B must move along +n.
+    return n, depth, point_a
+
+
+# ---------------------------------------------------------------------------
+# 2D EPA (≙ wgparry queries/gjk/epa2.wgsl) — polygon expansion in the
+# embedded z=0 plane used by the 2D support-mapped narrow phase
+# ---------------------------------------------------------------------------
+
+V2_CAP = 24
+ITERS2 = 16
+
+
+def epa2_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab, vertices=None):
+    """Penetration depth + direction for intersecting 2D pairs embedded in
+    3D (z = 0). Same contract as ``epa_penetration``; the polytope is a
+    CCW-ordered polygon ring with fixed capacity, expanded at the edge
+    closest to the origin each iteration (≙ epa2.wgsl's edge heap, made
+    batched + branch-free)."""
+    import numpy as np
+
+    m = t_ab.shape[0]
+    angs = 2.0 * np.pi * np.arange(8) / 8.0
+    seed_dirs = np.stack([np.cos(angs), np.sin(angs),
+                          np.zeros_like(angs)], -1).astype(np.float32)
+    verts = jnp.zeros((m, V2_CAP, 3), jnp.float32)
+    wit_a = jnp.zeros((m, V2_CAP, 3), jnp.float32)
+    wit_b = jnp.zeros((m, V2_CAP, 3), jnp.float32)
+    for i in range(8):
+        d = jnp.broadcast_to(jnp.asarray(seed_dirs[i]), (m, 3))
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, d, vertices)
+        verts = verts.at[:, i].set(s.w)
+        wit_a = wit_a.at[:, i].set(s.p_a)
+        wit_b = wit_b.at[:, i].set(s.p_b)
+    nv = jnp.full((m,), 8, jnp.int32)
+    idx = jnp.arange(V2_CAP, dtype=jnp.int32)
+
+    def edge_planes(verts, nv):
+        nxt = jnp.where(idx[None, :] + 1 >= nv[:, None],
+                        idx[None, :] + 1 - nv[:, None], idx[None, :] + 1)
+        vj = jnp.take_along_axis(verts, nxt[..., None].repeat(3, -1), 1)
+        e = vj - verts
+        elen = jnp.sqrt(e[..., 0] ** 2 + e[..., 1] ** 2)
+        inv = 1.0 / jnp.maximum(elen, 1e-30)
+        # CCW ring: outward normal of edge (vi -> vj) is (ey, -ex)
+        nx = e[..., 1] * inv
+        ny = -e[..., 0] * inv
+        d = nx * verts[..., 0] + ny * verts[..., 1]
+        # d < 0 means the (CCW-wound) ring does not yet contain the origin
+        # on that side — collapsed seeds do this. Do NOT flip the normal:
+        # expanding at the most-violated edge (min d, possibly negative)
+        # along its true outward normal recovers the missing hull corner.
+        valid = (idx[None, :] < nv[:, None]) & (elen > 1e-9)
+        d = jnp.where(valid, d, _BIG)
+        nrm = jnp.stack([nx, ny, jnp.zeros_like(nx)], -1)
+        return nrm, d, nxt
+
+    def body(_, state):
+        verts, wit_a, wit_b, nv, done = state
+        nrm, d, _ = edge_planes(verts, nv)
+        best = jnp.argmin(d, axis=-1)
+        bn = jnp.take_along_axis(nrm, best[:, None, None].repeat(3, -1),
+                                 1)[:, 0]
+        bd = jnp.take_along_axis(d, best[:, None], -1)[:, 0]
+        s = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, bn, vertices)
+        gap = jnp.sum(s.w * bn, -1) - bd
+        grow = ~done & (gap >= 1e-4) & (nv < V2_CAP)
+        done = done | (gap < 1e-4) | (nv >= V2_CAP)
+        # insert the new vertex after `best` (ring order preserved: the
+        # support along the edge normal lies angularly inside the edge)
+        ins = best + 1
+        prev_idx = jnp.maximum(idx[None, :] - 1, 0)
+
+        def shift(arr, new_val):
+            shifted = jnp.take_along_axis(
+                arr, prev_idx[..., None].repeat(arr.shape[-1], -1), 1)
+            keep = idx[None, :] <= best[:, None]
+            is_new = idx[None, :] == ins[:, None]
+            out = jnp.where(keep[..., None], arr,
+                            jnp.where(is_new[..., None], new_val[:, None, :],
+                                      shifted))
+            return jnp.where(grow[:, None, None], out, arr)
+
+        verts = shift(verts, s.w)
+        wit_a = shift(wit_a, s.p_a)
+        wit_b = shift(wit_b, s.p_b)
+        nv = jnp.where(grow, nv + 1, nv)
+        return verts, wit_a, wit_b, nv, done
+
+    state = (verts, wit_a, wit_b, nv, jnp.zeros((m,), bool))
+    verts, wit_a, wit_b, nv, done = jax.lax.fori_loop(0, ITERS2, body, state)
+
+    nrm, d, nxt = edge_planes(verts, nv)
+    best = jnp.argmin(d, axis=-1)
+    n = jnp.take_along_axis(nrm, best[:, None, None].repeat(3, -1), 1)[:, 0]
+    depth = jnp.take_along_axis(d, best[:, None], -1)[:, 0]
+    depth = jnp.where(depth >= _BIG * 0.5, 0.0, depth)
+    # witness: origin's projection onto the best edge, lerped into A's frame
+    bi = best
+    bj = jnp.take_along_axis(nxt, best[:, None], -1)[:, 0]
+    vi = jnp.take_along_axis(verts, bi[:, None, None].repeat(3, -1), 1)[:, 0]
+    vj = jnp.take_along_axis(verts, bj[:, None, None].repeat(3, -1), 1)[:, 0]
+    ai = jnp.take_along_axis(wit_a, bi[:, None, None].repeat(3, -1), 1)[:, 0]
+    aj = jnp.take_along_axis(wit_a, bj[:, None, None].repeat(3, -1), 1)[:, 0]
+    proj = n * depth[:, None]
+    e = vj - vi
+    t = jnp.sum((proj - vi) * e, -1) / jnp.maximum(jnp.sum(e * e, -1), 1e-30)
+    t = jnp.clip(t, 0.0, 1.0)
+    point_a = ai * (1.0 - t)[:, None] + aj * t[:, None]
     return n, depth, point_a

@@ -344,7 +344,7 @@ def gjk_distance(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
                 mask=None, *, epa_cap: int = 256, vertices=None,
                 tri_verts_a=None, tri_margin: float = 0.0,
-                use_epa: bool = True):
+                use_epa=True):
     """Single-point contact for support-mapped pairs via GJK + dilation, with
     EPA for core-intersecting pairs (≙ WgContactPfmPfm, contact.rs:161-178).
 
@@ -356,7 +356,7 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
 
     Returns (normal_a local-A [N,3], point on A [N,3] local-A, dist [N]).
     """
-    from wgmath_tpu.queries.epa import epa_penetration
+    from wgmath_tpu.queries.epa import epa2_penetration, epa_penetration
 
     n = pose_a.translation.shape[0]
     res = gjk_distance(tag_a, par_a, pose_a, tag_b, par_b, pose_b,
@@ -372,7 +372,7 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     inter = res.intersecting
     if mask is not None:
         inter = inter & mask
-    if not use_epa:
+    if use_epa is False:
         # deep-core fallback without EPA (triangle pairs rely on the margin
         # shell): push along the center axis
         t_c = quat.inv_mul_vec(pose_a.rotation,
@@ -396,7 +396,8 @@ def pfm_contact(tag_a, par_a, pose_a: Sim, tag_b, par_b, pose_b: Sim,
     t_ab = quat.inv_mul_vec(
         pose_a.rotation[sel], pose_b.translation[sel] - pose_a.translation[sel])
     t_ab = t_ab / pose_a.scale[sel][..., None]
-    e_n, e_depth, e_pa = epa_penetration(
+    epa_fn = epa2_penetration if use_epa == "2d" else epa_penetration
+    e_n, e_depth, e_pa = epa_fn(
         tag_a[sel], par_a[sel], tag_b[sel], par_b[sel], r_ab, t_ab,
         vertices=vertices)
 

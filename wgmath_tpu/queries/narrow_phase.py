@@ -282,8 +282,8 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     if dim == 2 and has_pfm_only:
         # 2D support-mapped pairs (capsules): embed in 3D (rotation about z,
         # boxes get a tall z-extent so no z-face can win) and reuse the 3D
-        # GJK machinery; deep-core pairs use the center-axis fallback (flat
-        # z=0 CSOs degenerate the 3D EPA polytope). ≙ wgparry2d pfm_pfm.
+        # GJK machinery; deep-core pairs run the 2D EPA polygon expansion
+        # in the z=0 plane (≙ wgparry2d pfm_pfm + epa2.wgsl).
         from wgmath_tpu.queries.gjk import pfm_contact
 
         def embed(pose2, tag, par):
@@ -309,7 +309,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         pfm = ~handled & supported & pairs.valid
         n_p3, p_p3, d_p = pfm_contact(tag_a, par_a3, pose_a3,
                                       tag_b, par_b3, pose_b3, mask=pfm,
-                                      vertices=None, use_epa=False)
+                                      vertices=None, use_epa="2d")
         n2 = n_p3[:, :2]
         nn = jnp.linalg.norm(n2, axis=-1, keepdims=True)
         n2 = jnp.where(nn > 1e-6, n2 / jnp.maximum(nn, 1e-30),
