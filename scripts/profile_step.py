@@ -71,15 +71,24 @@ def settled_state():
             state, config = step_checked(state, params, config)
         return state, params, config
     state = state0
+    # settle WITHOUT the slack cache: mid-churn velocity inflation fattens
+    # every box, overflowing grid budgets (persistent truncation) and
+    # growing pair capacity past what the steady state needs. Plain BP per
+    # frame is cheap enough for a one-off settle; the cache rebuilds on the
+    # first steady-state step.
+    settle_cfg = dataclasses.replace(config, bp_slack=0.0)
     for f in range(900):
-        state, config = step_checked(state, params, config)
+        state, settle_cfg = step_checked(state, params, settle_cfg)
         if f % 15 == 0:
             maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
             bench._log(f"settle frame {f}, "
                        f"pairs={int(np.asarray(state.pair_count)[0])}, "
-                       f"cap={config.pair_capacity}, maxvel={maxv:.2f}")
+                       f"cap={settle_cfg.pair_capacity}, maxvel={maxv:.2f}")
             if f >= 150 and maxv < 0.05:
                 break
+    # carry the settled capacities into the cached-BP config
+    config = dataclasses.replace(
+        settle_cfg, bp_slack=config.bp_slack)
     checkpoint.save(CKPT, {"state": state,
                            "config": dataclasses.asdict(config)})
     return state, params, config
