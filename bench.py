@@ -260,7 +260,7 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     # `balls` scene scatters and rolls forever — no rolling resistance)
     state = ball_pit(n_bodies)
     config = PipelineConfig(
-        pair_capacity=4096, contact_capacity=2048, max_colors=16,
+        pair_capacity=4096, contact_capacity=2048, max_colors=24,
         broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
         bc_pair_capacity=4096, gs_tail_window=512,
         manifold_points=auto_manifold_points(

@@ -47,7 +47,7 @@ def settled_state():
     from wgmath_tpu.pipeline import auto_manifold_points
 
     config = PipelineConfig(
-        pair_capacity=4096, contact_capacity=2048, max_colors=16,
+        pair_capacity=4096, contact_capacity=2048, max_colors=24,
         broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
         bc_pair_capacity=4096, gs_tail_window=512,
         manifold_points=auto_manifold_points(
@@ -86,9 +86,13 @@ def settled_state():
                        f"cap={settle_cfg.pair_capacity}, maxvel={maxv:.2f}")
             if f >= 150 and maxv < 0.05:
                 break
-    # carry the settled capacities into the cached-BP config
+    # carry the settled capacities into the cached-BP config, then run a
+    # few steady steps so the saved state carries a materialized BP cache
+    # (and any first-step capacity regrow happens before the save)
     config = dataclasses.replace(
         settle_cfg, bp_slack=config.bp_slack)
+    for _ in range(3):
+        state, config = step_checked(state, params, config)
     checkpoint.save(CKPT, {"state": state,
                            "config": dataclasses.asdict(config)})
     return state, params, config
