@@ -975,7 +975,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           warmstart_from: ContactConstraints | None = None,
           joints=None, gs_cmax: int = 0, prev_colors=None,
           colors_in=None, shard=None, stable_slots: bool = False,
-          gs_tail_window: int = 0, gs_split: int = 8):
+          gs_tail_window: int = 0, gs_split: int = 8,
+          cache_in=None, return_cache: bool = False):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -1070,8 +1071,39 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             cmax = min(cmax, gs_cmax)
         if shard is not None:  # color windows split evenly across devices
             cmax = -(-cmax // shard[1]) * shard[1]
-        layout = build_color_layout(colors, cons.valid,
-                                    max_colors=max_colors, cmax=cmax)
+
+        def _layout_sides():
+            layout = build_color_layout(colors, cons.valid,
+                                        max_colors=max_colors, cmax=cmax)
+            dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
+            dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+            order_padded = layout[0]
+            idxp = jnp.minimum(order_padded, cons.body_a.shape[0] - 1)
+            padv = order_padded >= cons.body_a.shape[0]
+            sides = _build_sides(cons.body_a[idxp], cons.body_b[idxp],
+                                 dyn_a[idxp], dyn_b[idxp],
+                                 jnp.where(padv, False, cons.valid[idxp]), n)
+            return layout + sides
+
+        # layout + warmstart segments depend only on (pair keys, colors):
+        # bitwise-stable contact sets reuse last frame's (sort-free)
+        if (cache_in is not None and same is not None
+                and len(cache_in) == 6):
+            fresh = _layout_sides()
+            shapes_ok = all(
+                tuple(c.shape) == tuple(f.shape) and c.dtype == f.dtype
+                for c, f in zip(cache_in, fresh))
+            # shapes_ok is static; fresh is only used as the fallback branch
+            if shapes_ok:
+                bundle = jax.lax.cond(same, lambda: tuple(cache_in),
+                                      lambda: _layout_sides())
+            else:
+                bundle = fresh
+        else:
+            bundle = _layout_sides()
+        layout = bundle[:3]
+        ws_sides = bundle[3:6]
+        solve_cache = bundle
         csr = None
         # everything below lives in color-sorted space for the whole solve:
         # fields sorted once, impulses carried sorted, unsorted once at end
@@ -1079,10 +1111,6 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
         c_cap = cons.body_a.shape[0]
         idx_s0 = jnp.minimum(order_padded, c_cap - 1)
-        dyn_a_s = jnp.any(ss.im_a != 0.0, axis=-1)
-        dyn_b_s = jnp.any(ss.im_b != 0.0, axis=-1)
-        ws_sides = _build_sides(ss.body_a, ss.body_b, dyn_a_s, dyn_b_s,
-                                ss.valid, n)
 
     if joints is not None:
         from wgmath_tpu.dynamics.joint import (
@@ -1203,6 +1231,9 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 if use_tail else jnp.int32(0))
         max_class = jnp.stack([head, jnp.int32(tail)])
         colors_out = colors
+    if return_cache:
+        return (poses, vels, cons, max_class, colors_out,
+                None if use_jacobi else solve_cache)
     return poses, vels, cons, max_class, colors_out
 
 

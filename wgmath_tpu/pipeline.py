@@ -60,11 +60,15 @@ class PhysicsState:
     # graph stay valid for every per-frame contact subset, so steady-state
     # frames skip coloring entirely. (colors, class_cap_used, max_colors_used)
     bp_colors: Any = None
+    # solver layout + warmstart-segment cache, reused under the
+    # stable-contact-keys cond (order/offsets/counts + side sort/segments)
+    solve_cache: Any = None
 
     def tree_flatten(self):
         return (self.bodies, self.shapes, self.prev_constraints,
                 self.pair_count, self.joints, self.prev_colors,
-                self.bp_pairs, self.bp_ref, self.bp_colors), None
+                self.bp_pairs, self.bp_ref, self.bp_colors,
+                self.solve_cache), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -397,7 +401,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     prev = state.prev_constraints if warmstart else None
     if prev is not None and prev.n_impulse.shape[1] != contacts.dist.shape[1]:
         prev = None  # stale state from before a manifold-width change
-    poses, vels, cons, max_class, colors = solve(
+    poses, vels, cons, max_class, colors, solve_cache = solve(
         bodies, mprops, contacts, params,
         use_jacobi=config.use_jacobi,
         max_colors=config.max_colors,
@@ -410,6 +414,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         stable_slots=not _has_mesh(state.shapes),
         gs_tail_window=config.gs_tail_window,
         gs_split=config.gs_split,
+        cache_in=state.solve_cache if warmstart else None,
+        return_cache=True,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.stack([pairs.count, contact_count, max_class[0],
@@ -417,7 +423,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
                         pairs if config.bp_slack > 0 else None, bp_ref,
-                        bp_colors if config.bp_slack > 0 else None)
+                        bp_colors if config.bp_slack > 0 else None,
+                        solve_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "n_steps"))
@@ -456,10 +463,15 @@ def step_checked(state: PhysicsState, params: SimParams,
     counts = np.array(new.pair_count)  # writable copy (asarray is read-only)
     regrow = {}
     if int(counts[0]) < 0:  # broad-phase budget overflow → widen budgets
-        regrow["broad_phase_max_per_row"] = config.broad_phase_max_per_row * 2
-        regrow["bp_cell_cap"] = config.bp_cell_cap * 2
-        regrow["bp_global_cap"] = config.bp_global_cap * 2
-        regrow["bp_cand_budget"] = config.bp_cand_budget * 2
+        # bounded growth: repeated transient overflows (a settling pile's
+        # churn phase) must not compound into huge candidate buffers — two
+        # uncapped doublings once produced a 21 GB grid-BP allocation
+        regrow["broad_phase_max_per_row"] = min(
+            config.broad_phase_max_per_row * 2, 512)
+        regrow["bp_cell_cap"] = min(config.bp_cell_cap * 2, 32)
+        regrow["bp_global_cap"] = min(config.bp_global_cap * 2, 64)
+        regrow["bp_cand_budget"] = min(
+            config.bp_cand_budget * 3 // 2, 144)
         counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
