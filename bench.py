@@ -9,14 +9,21 @@ Covers the five BASELINE.json configs:
 
 Timing methodology: the TPU here sits behind a network tunnel with ~30 ms
 host↔device round-trip latency and weak ``block_until_ready`` semantics, so
-per-call wall timing is useless. Every kernel is timed by the SLOPE method:
-run K_small and K_large *chained* iterations inside one jitted fori_loop,
-synchronize by reading back a scalar, and divide the time difference by the
-iteration difference — constant dispatch/sync overheads cancel exactly.
+per-call wall timing is useless — and slope timing (two-point K_small vs
+K_large difference) proved unreliable mid-round-2 (inconsistent
+decompositions, occasional ~0 differences clamped to garbage). Every kernel
+is therefore timed ABSOLUTELY: K *chained* iterations inside ONE jitted
+fori_loop (each iteration consumes the previous one's output, so XLA can
+neither hoist nor dead-code-eliminate the work), synchronized by a scalar
+readback, min of 3 runs, report T/K. A pilot run sizes K so the total run
+is ≥ ~0.75 s — the fixed ~30 ms dispatch+tunnel cost is then ≤ 4% and is
+included honestly rather than cancelled.
 
 Headline: geometric mean of per-config score vs the north-star targets
 (BASELINE.md): GEMM ≥ 0.9 × f32 MXU roofline, physics ≥ 60 steps/s at 10k
-bodies. ``vs_baseline`` is that geomean (≥ 1.0 ⇒ all targets met).
+bodies. ``vs_baseline`` is that geomean (≥ 1.0 ⇒ all targets met); the
+per-target ratios are reported alongside so one strong config cannot mask
+a weak one.
 """
 
 from __future__ import annotations
@@ -51,14 +58,14 @@ def _sync(x):
     return float(jnp.ravel(arr)[0])
 
 
-def slope_time(make_fn, args, *, k_small=4, k_large=24, reps=3,
-               target_s=0.4):
-    """Seconds per iteration via two-point slope timing.
+def abs_time(make_fn, args, *, k0=8, target_s=0.75, k_cap=4096, reps=3):
+    """Seconds per iteration via absolute timing of K chained iterations.
 
     ``make_fn(k)`` must return a jitted callable running k *chained*
-    iterations of the kernel (so XLA cannot hoist or dedupe them). When k's
-    are not given, a pilot run sizes them so the long run dominates the
-    ~30 ms tunnel latency.
+    iterations of the kernel (so XLA cannot hoist or dedupe them). A pilot
+    at ``k0`` estimates the per-iteration cost, then K is sized so the
+    measured run lasts ≥ ``target_s`` — the fixed ~30 ms tunnel/dispatch
+    overhead is then ≤ ~4% of the reading (included, not cancelled).
     """
 
     def run(k):
@@ -71,9 +78,12 @@ def slope_time(make_fn, args, *, k_small=4, k_large=24, reps=3,
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_small = run(k_small)
-    t_large = run(k_large)
-    return max((t_large - t_small) / (k_large - k_small), 1e-9)
+    t_pilot = run(k0)
+    if t_pilot >= target_s:
+        return t_pilot / k0
+    est = max(t_pilot / k0, 1e-7)
+    k = min(k_cap, max(k0 + 1, int(math.ceil(target_s / est))))
+    return run(k) / k
 
 
 # ---------------------------------------------------------------------------
@@ -97,8 +107,7 @@ def bench_gemm():
                     return jax.lax.fori_loop(0, k, body, a)
                 return f
 
-            ks = (64, 512) if n == 1024 else (4, 40)
-            t = slope_time(make, (a, b), k_small=ks[0], k_large=ks[1])
+            t = abs_time(make, (a, b), k0=64 if n == 1024 else 8)
             out[f"gemm{n}_f32_{prec}_tflops"] = 2 * n**3 / t / 1e12
     return out
 
@@ -119,7 +128,7 @@ def bench_gemv():
             return jax.lax.fori_loop(0, k, body, x)
         return f
 
-    t = slope_time(make, (a, x), k_small=32, k_large=256)
+    t = abs_time(make, (a, x), k0=64)
     return {"gemv4096_gbps": (n * n + 2 * n) * 4 / t / 1e9}
 
 
@@ -141,7 +150,7 @@ def bench_geometry():
             return jax.lax.fori_loop(0, k, body, v)
         return f
 
-    t_rot = slope_time(make_rot, (qj, vj), k_small=64, k_large=512)
+    t_rot = abs_time(make_rot, (qj, vj), k0=128)
 
     def make_sim(k):
         from wgmath_tpu.geometry import sim as sim_ops
@@ -158,7 +167,7 @@ def bench_geometry():
             return jax.lax.fori_loop(0, k, body, s0).translation
         return f
 
-    t_sim = slope_time(make_sim, (qj, vj), k_small=8, k_large=64)
+    t_sim = abs_time(make_sim, (qj, vj), k0=16)
     return {
         "quat_rotate_1m_gops": n / t_rot / 1e9,
         "sim3_compose_inv_1m_gops": n / t_sim / 1e9,
@@ -191,7 +200,7 @@ def bench_fused_graph():
             return jax.lax.fori_loop(0, k, body, a)
         return f
 
-    t = slope_time(make, (a, b), k_small=8, k_large=64)
+    t = abs_time(make, (a, b), k0=16)
     return {"fused_gemm_reduce_normalize_2048_ms": t * 1e3}
 
 
@@ -236,7 +245,7 @@ def bench_rays():
             return jax.lax.fori_loop(0, k, body, origins)
         return f
 
-    t = slope_time(make, (origins, dirs0), k_small=16, k_large=192)
+    t = abs_time(make, (origins, dirs0), k0=32)
     return {"raycast_100k_mrays_s": n / t / 1e6}
 
 
@@ -340,7 +349,8 @@ def main():
         "quat_rotate_1m_gops": 10.0,
         "raycast_100k_mrays_s": 100.0,
     }
-    scores = [results[k] / t for k, t in targets.items() if k in results]
+    ratios = {k: results[k] / t for k, t in targets.items() if k in results}
+    scores = list(ratios.values())
     vs = (math.exp(sum(math.log(max(s, 1e-9)) for s in scores) / len(scores))
           if scores else 0.0)
 
@@ -349,6 +359,9 @@ def main():
         "value": round(vs, 4),
         "unit": "x_target",
         "vs_baseline": round(vs, 4),
+        # per-target ratios alongside the geomean: a 10x raycast must not
+        # mask a sub-1x physics number
+        "ratios_vs_target": {k: round(v, 3) for k, v in ratios.items()},
         "details": {k: round(v, 4) for k, v in results.items()},
     }
     if fails:

@@ -68,7 +68,7 @@ def main():
     orig_solve = pp.solve
 
     def stub_solve(bodies, mprops, contacts, params_, *, warmstart_from=None,
-                   colors_in=None, **kw):
+                   colors_in=None, return_cache=False, cache_in=None, **kw):
         # finite, valid-masked feedback keeps BP + NP live
         d = jnp.sum(jnp.where(contacts.valid[:, None], contacts.dist,
                               0.0)) * 1e-9
@@ -77,7 +77,8 @@ def main():
         cons = warmstart_from
         colors = (colors_in if colors_in is not None
                   else jnp.zeros_like(cons.body_a))
-        return (poses, bodies.vels, cons, jnp.zeros(2, jnp.int32), colors)
+        out = (poses, bodies.vels, cons, jnp.zeros(2, jnp.int32), colors)
+        return out + (cache_in,) if return_cache else out
 
     pp.solve = stub_solve
     try:
@@ -90,12 +91,15 @@ def main():
             p_max = kw.get("p_max", 1) or 1
             dim = poses.translation.shape[-1]
             z = pairs.count.astype(jnp.float32) * 1e-9
-            return Contacts(pairs.body_a, pairs.body_b,
-                            jnp.zeros((c, dim)) + z,
-                            jnp.zeros((c, p_max, dim)),
-                            jnp.zeros((c, p_max)),
-                            jnp.zeros((c,), jnp.int32),
-                            pairs.valid & False)
+            contacts = Contacts(pairs.body_a, pairs.body_b,
+                                jnp.zeros((c, dim)) + z,
+                                jnp.zeros((c, p_max, dim)),
+                                jnp.zeros((c, p_max)),
+                                jnp.zeros((c,), jnp.int32),
+                                pairs.valid & False)
+            if kw.get("with_overflow"):
+                return contacts, jnp.zeros(3, jnp.int32)
+            return contacts
 
         pp.narrow_phase = stub_np
         try:

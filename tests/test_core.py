@@ -92,7 +92,12 @@ def test_dispatch_math():
     assert round_up(100, 128) == 128
     assert next_power_of_two(1000) == 1024
     assert capacity_bucket(10) == 1024  # floor
-    assert capacity_bucket(5000) == 8192
+    # 1.5x-granular ladder: {1024·2^k, 1536·2^k}
+    assert capacity_bucket(5000) == 6144
+    ladder = [1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384]
+    for lo, hi in zip(ladder, ladder[1:]):
+        assert capacity_bucket(lo) == lo  # exact fit stays
+        assert capacity_bucket(lo + 1) == hi  # one past rolls to next rung
 
 
 def test_view_roundtrip_matrix():

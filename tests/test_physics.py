@@ -857,3 +857,61 @@ def test_cm_gs_math_matches_row_major(p_max):
                                np.concatenate([np.asarray(w2l - v2l),
                                                np.asarray(w2a - v2a)], -1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bp_repair_matches_full_refresh():
+    """Incremental BP repair (a few escaped bodies → row-local recompute
+    merged into the cached list) must produce the same pair SET as a full
+    refresh of the same frame, and its colors must stay disjoint."""
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=2048, max_colors=16, bp_slack=0.02,
+                         contact_capacity=1024, gs_cmax=128,
+                         manifold_points=1, bp_repair_cap=8)
+    s = balls(96, dim=3)
+    for f in range(60):  # settle + materialize the BP cache
+        s = step(s, params, cfg, warmstart=f > 0)
+    # launch two balls fast enough to escape their reference boxes
+    lin = s.bodies.vels.linear.at[40].set(jnp.asarray([4.0, 1.0, 2.0]))
+    lin = lin.at[61].set(jnp.asarray([-3.0, -2.0, 1.5]))
+    s = dataclasses.replace(
+        s, bodies=Bodies(s.bodies.poses,
+                         dataclasses.replace(s.bodies.vels, linear=lin),
+                         s.bodies.local_mprops))
+    took_repair = False
+    for f in range(8):
+        s_rep = step(s, params, cfg)
+        path = int(np.asarray(s_rep.pair_count)[3])
+        if path == 1:
+            took_repair = True
+            s_full = step(s, params,
+                          dataclasses.replace(cfg, bp_force="miss"))
+
+            def pair_set(ps):
+                a = np.asarray(ps.bp_pairs.body_a)
+                b = np.asarray(ps.bp_pairs.body_b)
+                v = np.asarray(ps.bp_pairs.valid)
+                return {(int(x), int(y)) for x, y in zip(a[v], b[v])}
+
+            rep, full = pair_set(s_rep), pair_set(s_full)
+            # repair skips the sphere prefilter for the escaped rows, so it
+            # may keep a few extra (superset) pairs — never fewer
+            assert full <= rep, f"repair missed pairs: {full - rep}"
+            assert len(rep - full) <= 64
+            # colors on the repaired list stay dynamic-body-disjoint
+            cols = np.asarray(s_rep.bp_colors[0])
+            a = np.asarray(s_rep.bp_pairs.body_a)
+            b = np.asarray(s_rep.bp_pairs.body_b)
+            v = np.asarray(s_rep.bp_pairs.valid)
+            dyn = np.asarray(s.bodies.is_dynamic())
+            for col in np.unique(cols[v]):
+                if col == 0:
+                    continue
+                sel = v & (cols == col)
+                touched = np.concatenate([a[sel][dyn[a[sel]]],
+                                          b[sel][dyn[b[sel]]]])
+                assert len(np.unique(touched)) == len(touched), col
+        s = s_rep
+    assert took_repair, "no frame took the repair path"
+    assert np.isfinite(np.asarray(s.bodies.poses.translation)).all()

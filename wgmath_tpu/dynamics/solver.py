@@ -92,7 +92,7 @@ def build_body_constraint_csr(cons: ContactConstraints, num_bodies: int):
 
 
 def color_pairs(body_a, body_b, valid, dyn_a, dyn_b, num_bodies: int,
-                *, max_colors: int = 32, claim_rounds: int = 2,
+                *, max_colors: int = 32, claim_rounds: int = 4,
                 class_cap: int = 0):
     """Edge-color a body-pair graph (array-level core of
     ``color_constraints``; also used to color the broad-phase pair list
@@ -109,7 +109,7 @@ def color_pairs(body_a, body_b, valid, dyn_a, dyn_b, num_bodies: int,
 
 
 def color_constraints(cons: ContactConstraints, num_bodies: int,
-                      *, max_colors: int = 32, claim_rounds: int = 2,
+                      *, max_colors: int = 32, claim_rounds: int = 4,
                       class_cap: int = 0):
     """Assign colors 1..max_colors so same-color constraints share no dynamic
     body. Per color: constraints scatter-min their index into per-body slots;
@@ -123,6 +123,12 @@ def color_constraints(cons: ContactConstraints, num_bodies: int,
     fallback, coloring.rs:127-196, minus its per-color readbacks): random
     local minima select a large independent set per round; the low 16 bits
     carry the constraint index so priorities are unique.
+
+    ``claim_rounds=4`` saturates each color to a near-maximal independent
+    set: on a jammed 10k-ball pair graph (58k pairs, max degree 19) it
+    reaches 19 colors — the graph's chromatic-index lower bound — vs 21 at
+    2 rounds; more rounds change nothing. Sweep cost ∝ colors, and the
+    extra rounds only run on the (rare) full-recolor frames.
 
     ``class_cap`` > 0 balances class sizes: winners beyond the cap are
     deferred to later colors. Unbalanced Luby claims front-load huge
@@ -212,9 +218,13 @@ def _color_edges(cons, dyn_a, dyn_b, num_bodies: int, *, max_colors: int,
     return colors
 
 
-def pair_key(ba, bb, valid):
+def pair_key(ba, bb, valid, num_bodies: int | None = None):
     """u32 key (a<<16 | b) per pair; invalid slots → 0xFFFFFFFF. Assumes
-    < 65536 bodies (the pipeline's same-contact-set predicate shares this)."""
+    < 65536 bodies (the pipeline's same-contact-set predicate shares this);
+    pass ``num_bodies`` to assert that statically at the call site."""
+    if num_bodies is not None:
+        assert num_bodies < (1 << 16), (
+            f"{num_bodies} bodies: 16-bit pair keys alias at >= 65536")
     k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32) & 0xFFFF)
     return jnp.where(valid, k, jnp.uint32(0xFFFFFFFF))
 
@@ -274,8 +284,8 @@ def assign_new_pair_colors(ba, bb, valid, colors, dyn_a, dyn_b,
 
     col_ids = jnp.arange(mc, dtype=jnp.int32)
 
-    def assign(i, carry):
-        colors, used, counts = carry
+    def assign(carry):
+        i, colors, used, counts = carry
         s = jnp.minimum(slots[i], c - 1)
         active = slots[i] < c
         a, b = ba[s], bb[s]
@@ -291,10 +301,17 @@ def assign_new_pair_colors(ba, bb, valid, colors, dyn_a, dyn_b,
         used = used.at[jnp.where(hit & dyn_b[s], b, num_bodies), color].set(
             True, mode="drop")
         counts = counts + jnp.where(hit, col_ids == color, False)
-        return colors, used, counts
+        return i + 1, colors, used, counts
 
-    colors, _, _ = jax.lax.fori_loop(0, new_cap, assign,
-                                     (colors, used, counts))
+    # while_loop (not fori): a straggler escape recolors ~10-20 pairs, and
+    # the untaken tail of a fixed new_cap=128 sweep would still cost ~50 µs
+    # per sequential iteration on TPU (measured: +6 ms/frame on the repair
+    # path). The dynamic exit skips it (lax early-exit verified on this
+    # backend, CLAUDE.md).
+    _, colors, _, _ = jax.lax.while_loop(
+        lambda carry: ((carry[0] < new_cap)
+                       & (slots[jnp.minimum(carry[0], c - 1)] < c)),
+        assign, (jnp.int32(0), colors, used, counts))
     return colors
 
 
@@ -725,6 +742,44 @@ def sort_solver_fields_packed(cons: ContactConstraints,
     return ss, (packed2d, pack_meta)
 
 
+def pad_solver_fields_packed(cons: ContactConstraints, pad: int):
+    """``sort_solver_fields_packed`` for constraints that are ALREADY in
+    color-major order (contacts compacted sorted-by-color upstream,
+    ``compact_contacts(..., sort_by_extra=True)``): no gather at all — one
+    concat builds the packed window matrix; ``pad`` zero rows keep the GS
+    window dynamic-slices in bounds past the last color's offset."""
+    from types import SimpleNamespace
+
+    c = cons.body_a.shape[0]
+    cols, meta, at = [], {}, 0
+    for f in _F32_SORT_FIELDS:
+        v = getattr(cons, f)
+        tail = v.shape[1:]
+        k = int(np.prod(tail)) if tail else 1
+        meta[f] = (at, tail)
+        cols.append(v.reshape(c, k).astype(jnp.float32))
+        at += k
+    big = jnp.concatenate(cols, axis=1)
+    big = jnp.concatenate([big, jnp.zeros((pad, big.shape[1]), jnp.float32)])
+    n = c + pad
+    fields = {}
+    for f, (a0, tail) in meta.items():
+        k = int(np.prod(tail)) if tail else 1
+        fields[f] = jax.lax.slice_in_dim(big, a0, a0 + k,
+                                         axis=1).reshape((n,) + tail)
+    zpad_i = jnp.zeros((pad,), jnp.int32)
+    fields["body_a"] = jnp.concatenate([cons.body_a, zpad_i])
+    fields["body_b"] = jnp.concatenate([cons.body_b, zpad_i])
+    fields["num_points"] = jnp.concatenate([cons.num_points, zpad_i])
+    fields["valid"] = jnp.concatenate([cons.valid, jnp.zeros((pad,), bool)])
+    ss = SimpleNamespace(**fields)
+    k_pack = meta[_PACK_FIELDS[-1]][0] + max(
+        int(np.prod(meta[_PACK_FIELDS[-1]][1])), 1)
+    packed2d = jax.lax.slice_in_dim(big, 0, k_pack, axis=1)
+    pack_meta = {f: meta[f] for f in _PACK_FIELDS}
+    return ss, (packed2d, pack_meta)
+
+
 def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
     """Gather the solver-read constraint fields into color-major order —
     once per relinearization, so every GS color window below is a contiguous
@@ -976,7 +1031,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           joints=None, gs_cmax: int = 0, prev_colors=None,
           colors_in=None, shard=None, stable_slots: bool = False,
           gs_tail_window: int = 0, gs_split: int = 8,
-          cache_in=None, return_cache: bool = False):
+          cache_in=None, return_cache: bool = False,
+          presorted: bool = False):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -991,10 +1047,20 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     is unchanged so the old independent sets are still exact. The reference
     recolors every frame (coloring.rs) because its readback-driven loop
     cannot cheaply test set equality on device.
+
+    ``presorted``: the contacts (hence ``cons`` and ``colors_in``) are
+    already color-major (``compact_contacts(..., sort_by_extra=True)``) —
+    the layout becomes identity order + segment counts and the per-frame
+    field sort-gather is skipped.
     """
     dim = bodies.dim
     sub = params.substep().with_dim(dim)
     n = bodies.num_bodies
+    # pair keys (warmstart match, stable-contact-set predicate, cached
+    # pair-graph colors) pack (a, b) as a<<16|b — silent aliasing past 64k
+    # bodies would match wrong pairs; widen pair_key to u64 before lifting
+    assert n < (1 << 16), (
+        f"{n} bodies: 16-bit pair keys alias at >= 65536 bodies")
 
     cons = build_constraints(bodies.poses, bodies.vels, mprops, contacts, params)
     # contact-set stability predicate: when the (body_a, body_b, valid) keys
@@ -1062,8 +1128,6 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         else:
             colors = color_constraints(cons, n, max_colors=max_colors,
                                        class_cap=gs_cmax)
-        num_colors = jnp.minimum(jnp.max(jnp.where(cons.valid, colors, 0)),
-                                 max_colors)
         # a color class holds ≤ one constraint per dynamic body; gs_cmax
         # tightens the per-color window (host-grown via the overflow count)
         cmax = min(cons.body_a.shape[0], n + 64)
@@ -1071,10 +1135,31 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             cmax = min(cmax, gs_cmax)
         if shard is not None:  # color windows split evenly across devices
             cmax = -(-cmax // shard[1]) * shard[1]
+        c_cap = cons.body_a.shape[0]
+        # contacts compacted sorted-by-color upstream: the constraint buffer
+        # IS color-major, so the layout is identity order + segment counts
+        # and the per-frame field sort-gather disappears entirely
+        use_presorted = bool(presorted and colors_in is not None
+                             and shard is None)
 
         def _layout_sides():
-            layout = build_color_layout(colors, cons.valid,
-                                        max_colors=max_colors, cmax=cmax)
+            if use_presorted:
+                key = jnp.where(cons.valid,
+                                jnp.clip(colors, 0, max_colors),
+                                max_colors + 1).astype(jnp.int32)
+                counts = jax.ops.segment_sum(
+                    cons.valid.astype(jnp.int32), key,
+                    num_segments=max_colors + 2)
+                offsets = jnp.concatenate([
+                    jnp.zeros(1, jnp.int32),
+                    jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+                order_padded = jnp.concatenate(
+                    [jnp.arange(c_cap, dtype=jnp.int32),
+                     jnp.full((cmax,), c_cap, jnp.int32)])
+                layout = (order_padded, offsets, counts)
+            else:
+                layout = build_color_layout(colors, cons.valid,
+                                            max_colors=max_colors, cmax=cmax)
             dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
             dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
             order_padded = layout[0]
@@ -1104,13 +1189,25 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         layout = bundle[:3]
         ws_sides = bundle[3:6]
         solve_cache = bundle
+        # num_colors must come from the layout actually swept: when `same`
+        # reuses the cached bundle while `colors` was freshly recolored (a
+        # BP refresh that fell back to a full recolor of a bitwise-identical
+        # contact graph), a fresh-colors maximum could exceed the cached
+        # layout's class count and classes past it would never be swept.
+        # The bundle's own class_counts are consistent in both branches.
+        class_ids = jnp.arange(max_colors + 2, dtype=jnp.int32)
+        num_colors = jnp.max(jnp.where(
+            (bundle[2] > 0) & (class_ids >= 1) & (class_ids <= max_colors),
+            class_ids, 0))
         csr = None
         # everything below lives in color-sorted space for the whole solve:
         # fields sorted once, impulses carried sorted, unsorted once at end
         order_padded = layout[0]
-        ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
-        c_cap = cons.body_a.shape[0]
-        idx_s0 = jnp.minimum(order_padded, c_cap - 1)
+        if use_presorted:
+            ss, packed_fields = pad_solver_fields_packed(cons, cmax)
+        else:
+            ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
+            idx_s0 = jnp.minimum(order_padded, c_cap - 1)
 
     if joints is not None:
         from wgmath_tpu.dynamics.joint import (
@@ -1203,15 +1300,26 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             0, params.num_solver_iterations, substep_jacobi,
             (vels, bodies.poses, cons))
     else:
-        n_imp_s = cons.n_impulse[idx_s0]
-        t_imp_s = cons.t_impulse[idx_s0]
+        if use_presorted:
+            n_imp_s = jnp.concatenate(
+                [cons.n_impulse,
+                 jnp.zeros((cmax,) + cons.n_impulse.shape[1:], jnp.float32)])
+            t_imp_s = jnp.concatenate(
+                [cons.t_impulse,
+                 jnp.zeros((cmax,) + cons.t_impulse.shape[1:], jnp.float32)])
+        else:
+            n_imp_s = cons.n_impulse[idx_s0]
+            t_imp_s = cons.t_impulse[idx_s0]
         vels, poses, n_imp_s, t_imp_s = jax.lax.fori_loop(
             0, params.num_solver_iterations, substep_gs,
             (vels, bodies.poses, n_imp_s, t_imp_s))
         # unsort impulses once (next frame's warmstart source)
-        sel = jnp.where(order_padded < c_cap, order_padded, c_cap)
-        n_imp = cons.n_impulse.at[sel].set(n_imp_s, mode="drop")
-        t_imp = cons.t_impulse.at[sel].set(t_imp_s, mode="drop")
+        if use_presorted:  # identity order: drop the padding rows
+            n_imp, t_imp = n_imp_s[:c_cap], t_imp_s[:c_cap]
+        else:
+            sel = jnp.where(order_padded < c_cap, order_padded, c_cap)
+            n_imp = cons.n_impulse.at[sel].set(n_imp_s, mode="drop")
+            t_imp = cons.t_impulse.at[sel].set(t_imp_s, mode="drop")
         cons = dataclasses.replace(cons, n_impulse=n_imp, t_impulse=t_imp)
     # largest color-class size (0 when jacobi): host grows gs_cmax on overflow
     if use_jacobi:

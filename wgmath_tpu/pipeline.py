@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import tree_util
 
-from wgmath_tpu.broad_phase.brute_force import find_pairs
+from wgmath_tpu.broad_phase.brute_force import PairList, find_pairs
 from wgmath_tpu.core.dispatch import capacity_bucket
 from wgmath_tpu.core.profiling import RunStats
 from wgmath_tpu.dynamics.body import Bodies, update_mprops
@@ -46,9 +46,12 @@ class PhysicsState:
     bodies: Bodies
     shapes: ShapeSet
     prev_constraints: ContactConstraints | None
-    pair_count: jax.Array  # i32 [5] — [pairs, contacts, max GS color
-    # class, BP-cache hit flag (1 = this frame reused the cached pair
-    # list), max tail color class (split-window sweep overflow signal)]
+    pair_count: jax.Array  # i32 [8] — [pairs, contacts, max GS color
+    # class, BP path taken (0 = cache hit, 1 = incremental repair,
+    # 2 = full broad phase),
+    # max tail color class (split-window sweep overflow signal),
+    # bc/sat/pfm narrow-phase compaction demand (unclamped match counts —
+    # step_checked regrows the matching capacity when one exceeds it)]
     joints: Any = None  # JointSet | None
     prev_colors: Any = None  # i32 [C] — last frame's constraint coloring
     # broad-phase temporal-coherence cache (bp_slack > 0): last pair list +
@@ -121,9 +124,17 @@ class PipelineConfig:
     # key match; greedily color up to this many new pairs sequentially. More
     # churn than this (or regrown knobs) falls back to the full recolor.
     bp_recolor_cap: int = 128
+    # incremental BP repair: when 1..bp_repair_cap bodies escape their
+    # inflated reference boxes, only their pair rows are recomputed (one
+    # [E, N] brute pass against the cached reference boxes) and merged into
+    # the cached pair list — the full grid refresh (~2x a hit step at 10k
+    # bodies) is reserved for real churn. 0 disables. Escaped bodies get
+    # fresh reference boxes; everyone else keeps theirs, so the repaired
+    # list stays a superset of true overlaps by the same invariant.
+    bp_repair_cap: int = 32
     # profiling knob: force the BP-cache predicate to a fixed value so the
-    # hit path and the refresh path can be slope-timed in isolation.
-    bp_force: str | None = None  # None | "hit" | "miss"
+    # hit path and the refresh path can be timed in isolation.
+    bp_force: str | None = None  # None | "hit" | "miss" | "repair"
     # split-window GS sweep: colors past gs_split use this (smaller) window;
     # 0 = single-window sweep. Host-grown via the tail-overflow signal.
     gs_tail_window: int = 0
@@ -168,7 +179,7 @@ def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
 
 
 def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
-    return PhysicsState(bodies, shapes, None, jnp.zeros(5, jnp.int32), joints)
+    return PhysicsState(bodies, shapes, None, jnp.zeros(8, jnp.int32), joints)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
@@ -247,10 +258,13 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
 
     # pair-graph coloring rides the BP cache: recolor only when the broad
     # phase actually re-runs. Gated off for mesh scenes (k-best rows of one
-    # pair share bodies, so pair-level colors would break GS disjointness)
-    # and for Jacobi (needs no coloring).
+    # pair share bodies, so pair-level colors would break GS disjointness),
+    # for Jacobi (needs no coloring), and for gs_cmax == 0: the class-cap
+    # regime is what parks coloring residue in an unswept segment AND gives
+    # step_checked a regrow signal — without it, residue pairs would share
+    # a GS color window and break the unique-indices scatter promise.
     color_with_bp = (slack > 0 and not config.use_jacobi
-                     and not _has_mesh(state.shapes))
+                     and config.gs_cmax > 0 and not _has_mesh(state.shapes))
 
     def _colored_bp(mn, mx, reuse=None):
         p = _run_bp(mn, mx)
@@ -303,40 +317,127 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 and state.bp_ref is not None
                 and state.bp_pairs.body_a.shape[0] == config.pair_capacity
                 and (not color_with_bp or state.bp_colors is not None))
-    bp_hit = jnp.bool_(False)
+
+    def _repair_bp(esc):
+        """Recompute only the escaped bodies' pair rows and merge them into
+        the cached list. Escaped bodies get fresh inflated reference boxes;
+        candidate tests run against the OTHER bodies' cached reference boxes
+        (not their current AABBs), preserving the superset invariant: pair
+        (i, j) is listed whenever ref_i and ref_j overlap, and bodies stay
+        inside their refs until they trigger their own repair/refresh."""
+        ref0, ref1 = state.bp_ref
+        r0 = jnp.where(esc[:, None], mins - infl, ref0)
+        r1 = jnp.where(esc[:, None], maxs + infl, ref1)
+        ecap = min(config.bp_repair_cap, n_bodies)
+        score = jnp.where(esc, n_bodies - jnp.arange(n_bodies), 0)
+        top, _ = jax.lax.top_k(score, ecap)
+        e_valid = top > 0
+        e_ids = jnp.where(e_valid, n_bodies - top, 0)
+        op = state.bp_pairs
+        keep = op.valid & ~esc[op.body_a] & ~esc[op.body_b]
+        # [E, N] brute rows (exact AABB on reference boxes; the sphere
+        # prefilter is skipped — a few extra superset pairs, re-tested by
+        # the narrow phase anyway)
+        cols = jnp.arange(n_bodies, dtype=jnp.int32)
+        ov = jnp.all((r0[e_ids][:, None, :] <= r1[None])
+                     & (r0[None] <= r1[e_ids][:, None, :]), axis=-1)
+        ov &= e_valid[:, None]
+        ov &= cols[None, :] != e_ids[:, None]
+        ov &= dyn_mask[e_ids][:, None] | dyn_mask[None, :]
+        # escaped-escaped pairs emit from the lower body id only
+        ov &= (~esc[cols])[None, :] | (cols[None, :] > e_ids[:, None])
+        row_counts = jnp.sum(ov, axis=-1, dtype=jnp.int32)
+        kk = min(max(64, config.broad_phase_max_per_row), n_bodies)
+        row_overflow = jnp.any(row_counts > kk)
+        sc2 = jnp.where(ov, n_bodies - cols[None, :], 0)
+        top2, _ = jax.lax.top_k(sc2, kk)  # [E, kk]
+        hit2 = top2 > 0
+        nb = jnp.where(hit2, n_bodies - top2, 0)
+        na = jnp.broadcast_to(e_ids[:, None], nb.shape)
+        # merge surviving old pairs + new rows into the capacity buffer
+        cap = config.pair_capacity
+        all_a = jnp.concatenate([op.body_a, jnp.minimum(na, nb).reshape(-1)])
+        all_b = jnp.concatenate([op.body_b, jnp.maximum(na, nb).reshape(-1)])
+        all_v = jnp.concatenate([keep, hit2.reshape(-1)])
+        pos = jnp.cumsum(all_v.astype(jnp.int32)) - 1
+        slot = jnp.where(all_v & (pos < cap), pos, cap)
+        out_a = jnp.zeros(cap, jnp.int32).at[slot].set(all_a, mode="drop")
+        out_b = jnp.zeros(cap, jnp.int32).at[slot].set(all_b, mode="drop")
+        total = jnp.sum(all_v.astype(jnp.int32))
+        count = jnp.where(row_overflow, -jnp.maximum(total, 1), total)
+        valid = jnp.arange(cap) < jnp.minimum(total, cap)
+        p = PairList(out_a, out_b, valid, count)
+        if not color_with_bp:
+            return p, (r0, r1), None
+        from wgmath_tpu.dynamics.solver import (
+            assign_new_pair_colors,
+            color_pairs,
+            transfer_pair_colors,
+        )
+
+        mapped = transfer_pair_colors(p.body_a, p.body_b, p.valid,
+                                      op.body_a, op.body_b, op.valid,
+                                      state.bp_colors[0])
+        n_new = jnp.sum((p.valid & (mapped == 0)).astype(jnp.int32))
+        cols_out = jax.lax.cond(
+            n_new <= config.bp_recolor_cap,
+            lambda: assign_new_pair_colors(
+                p.body_a, p.body_b, p.valid, mapped,
+                dyn_mask[p.body_a], dyn_mask[p.body_b], n_bodies,
+                max_colors=config.max_colors, class_cap=config.gs_cmax,
+                new_cap=config.bp_recolor_cap),
+            lambda: color_pairs(p.body_a, p.body_b, p.valid,
+                                dyn_mask[p.body_a], dyn_mask[p.body_b],
+                                n_bodies, max_colors=config.max_colors,
+                                class_cap=config.gs_cmax))
+        return p, (r0, r1), (cols_out, jnp.int32(config.gs_cmax),
+                             jnp.int32(config.max_colors))
+
+    bp_path = jnp.int32(2)  # 0 = cache hit, 1 = repair, 2 = full BP
     if slack > 0:
         if cache_ok:
-            inside = jnp.all((mins >= state.bp_ref[0])
-                             & (maxs <= state.bp_ref[1]))
+            esc = jnp.any((mins < state.bp_ref[0])
+                          | (maxs > state.bp_ref[1]), axis=1)
+            n_esc = jnp.sum(esc.astype(jnp.int32))
+            knobs_ok = jnp.bool_(True)
             if color_with_bp:
                 # cached colors are stale if the coloring knobs changed
                 # (host regrew gs_cmax after a residue signal)
-                inside &= ((state.bp_colors[1] == config.gs_cmax)
-                           & (state.bp_colors[2] == config.max_colors))
+                knobs_ok = ((state.bp_colors[1] == config.gs_cmax)
+                            & (state.bp_colors[2] == config.max_colors))
             # cached pairs stay a superset of true overlaps while every AABB
             # remains inside its slack-inflated reference box
             reuse = ((state.bp_pairs, state.bp_colors)
                      if color_with_bp else None)
+            repair_on = config.bp_repair_cap > 0
+            idx = jnp.where(
+                knobs_ok & (n_esc == 0), 0,
+                jnp.where(knobs_ok & repair_on
+                          & (n_esc <= config.bp_repair_cap), 1, 2))
             if config.bp_force == "hit":
-                inside = jnp.bool_(True)
+                idx = jnp.int32(0)
             elif config.bp_force == "miss":
-                inside = jnp.bool_(False)
-            bp_hit = inside
-            pairs, bp_ref, bp_colors = jax.lax.cond(
-                inside,
-                lambda: (state.bp_pairs, state.bp_ref, state.bp_colors),
-                lambda: _colored_bp(mins - infl, maxs + infl, reuse=reuse))
+                idx = jnp.int32(2)
+            elif config.bp_force == "repair":
+                idx = jnp.int32(1)
+            bp_path = idx
+            pairs, bp_ref, bp_colors = jax.lax.switch(
+                idx,
+                [lambda: (state.bp_pairs, state.bp_ref, state.bp_colors),
+                 lambda: _repair_bp(esc),
+                 lambda: _colored_bp(mins - infl, maxs + infl, reuse=reuse)])
         else:
             pairs, bp_ref, bp_colors = _colored_bp(mins - infl, maxs + infl)
     else:
         pairs, bp_ref, bp_colors = _colored_bp(mins, maxs)
         bp_ref = None
     p_max = config.manifold_points
-    contacts = narrow_phase(bodies.poses, state.shapes, pairs,
-                            params.prediction_distance,
-                            sat_capacity=config.sat_pair_capacity,
-                            pfm_capacity=config.pfm_pair_capacity,
-                            p_max=p_max, bc_capacity=config.bc_pair_capacity)
+    contacts, np_needed = narrow_phase(
+        bodies.poses, state.shapes, pairs, params.prediction_distance,
+        sat_capacity=config.sat_pair_capacity,
+        pfm_capacity=config.pfm_pair_capacity,
+        p_max=p_max, bc_capacity=config.bc_pair_capacity,
+        with_overflow=True)
     if _has_mesh(state.shapes):
         from wgmath_tpu.queries.mesh_contact import (
             concat_contacts,
@@ -386,12 +487,18 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                     pair_cap=config.mesh_pair_capacity // 2, k_best=2)
                 contacts = concat_contacts(contacts, pc_contacts)
     contact_colors = bp_colors[0] if color_with_bp else None
+    presorted = False
     if config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 
         if contact_colors is not None:
+            # color-major compaction: the constraint buffer comes out
+            # already sorted by color, so solve() skips its per-frame
+            # field sort-gather (identity layout)
             contacts, contact_count, contact_colors = compact_contacts(
-                contacts, config.contact_capacity, extra=contact_colors)
+                contacts, config.contact_capacity, extra=contact_colors,
+                sort_by_extra=True)
+            presorted = True
         else:
             contacts, contact_count = compact_contacts(
                 contacts, config.contact_capacity)
@@ -416,10 +523,12 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         gs_split=config.gs_split,
         cache_in=state.solve_cache if warmstart else None,
         return_cache=True,
+        presorted=presorted,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
-    counts = jnp.stack([pairs.count, contact_count, max_class[0],
-                        bp_hit.astype(jnp.int32), max_class[1]])
+    counts = jnp.concatenate([
+        jnp.stack([pairs.count, contact_count, max_class[0],
+                   bp_path, max_class[1]]), np_needed])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
                         pairs if config.bp_slack > 0 else None, bp_ref,
@@ -441,7 +550,7 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         or state.bp_pairs.body_a.shape[0] != config.pair_capacity
         or (color_with_bp and state.bp_colors is None))
     if (state.prev_constraints is None or state.prev_colors is None
-            or needs_bp_cache or state.pair_count.shape[0] != 5
+            or needs_bp_cache or state.pair_count.shape[0] != 8
             or (config.bp_slack <= 0 and state.bp_pairs is not None)):
         state = step(state, params, config,
                      warmstart=state.prev_constraints is not None)
@@ -466,12 +575,34 @@ def step_checked(state: PhysicsState, params: SimParams,
         # bounded growth: repeated transient overflows (a settling pile's
         # churn phase) must not compound into huge candidate buffers — two
         # uncapped doublings once produced a 21 GB grid-BP allocation
-        regrow["broad_phase_max_per_row"] = min(
-            config.broad_phase_max_per_row * 2, 512)
-        regrow["bp_cell_cap"] = min(config.bp_cell_cap * 2, 32)
-        regrow["bp_global_cap"] = min(config.bp_global_cap * 2, 64)
-        regrow["bp_cand_budget"] = min(
-            config.bp_cand_budget * 3 // 2, 144)
+        grown = {
+            "broad_phase_max_per_row": min(
+                config.broad_phase_max_per_row * 2, 512),
+            "bp_cell_cap": min(config.bp_cell_cap * 2, 32),
+            "bp_global_cap": min(config.bp_global_cap * 2, 64),
+            "bp_cand_budget": min(config.bp_cand_budget * 3 // 2, 144),
+        }
+        if all(getattr(config, k) == v for k, v in grown.items()):
+            # every budget knob is already at its cap but the grid still
+            # overflows: the sign-flipped count below would look healthy.
+            # Surface it (stats + warning) and drop the overflowed pair
+            # list from the BP cache so bp_slack cannot freeze the
+            # truncation in — next frame takes the refresh path.
+            if stats is not None:
+                stats.bump("bp_budget_saturated")
+            import warnings
+
+            warnings.warn(
+                "broad-phase budgets saturated at their caps while still "
+                "overflowing; pair list may be truncated this frame")
+            if new.bp_ref is not None:
+                # invalidate in-place (keeps the pytree structure → no new
+                # trace): an empty reference box can never contain an AABB
+                bad_ref = (jnp.full_like(new.bp_ref[0], jnp.inf),
+                           jnp.full_like(new.bp_ref[1], -jnp.inf))
+                new = dataclasses.replace(new, bp_ref=bad_ref)
+        else:
+            regrow.update(grown)
         counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
@@ -482,6 +613,14 @@ def step_checked(state: PhysicsState, params: SimParams,
     if (config.gs_tail_window and len(counts) > 4
             and int(counts[4]) > config.gs_tail_window):
         regrow["gs_tail_window"] = capacity_bucket(int(counts[4]), floor=256)
+    # narrow-phase compaction demand (unclamped match counts): a saturated
+    # capacity silently drops contacts, so regrow it like the others
+    if len(counts) > 7:
+        for i, knob in ((5, "bc_pair_capacity"), (6, "sat_pair_capacity"),
+                        (7, "pfm_pair_capacity")):
+            cap = getattr(config, knob)
+            if cap and int(counts[i]) > cap:
+                regrow[knob] = capacity_bucket(int(counts[i]), floor=256)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:

@@ -86,21 +86,26 @@ def _compact_mask(mask, capacity):
     The narrow-phase analog of the EPA batch compaction: expensive kernels
     (SAT, GJK) run on just the pairs of their type instead of every slot —
     the TPU answer to SURVEY §7 hard part 6's "partition pairs by type-pair".
+
+    Also returns the UNCLAMPED match count: entries past ``capacity`` are
+    dropped, so the caller must surface ``total`` for the host to regrow the
+    capacity (a silent truncation here = contacts that never form).
     """
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slot = jnp.where(mask & (pos < capacity), pos, capacity)
     sel = jnp.zeros((capacity,), jnp.int32).at[slot].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    total = jnp.sum(mask.astype(jnp.int32))
+    count = jnp.minimum(total, capacity)
     active = jnp.arange(capacity) < count
-    return sel, active
+    return sel, active, total
 
 
 def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                  prediction_distance: float, *, sat_capacity: int = 0,
                  pfm_capacity: int = 0, p_max: int = 0,
-                 bc_capacity: int = 0) -> Contacts:
+                 bc_capacity: int = 0, with_overflow: bool = False):
     """Dispatch contact kernels over the pair list; one manifold per pair.
 
     ``sat_capacity``/``pfm_capacity`` > 0 compact the matching pairs into a
@@ -114,8 +119,14 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     (``pipeline.auto_manifold_points`` derives the safe value from the shape
     tags). ``p_max == 1`` asserts cuboid-cuboid pairs cannot occur and skips
     the SAT kernel entirely; wider-but-truncated manifolds keep their
-    deepest ``p_max`` points."""
+    deepest ``p_max`` points.
+
+    ``with_overflow=True`` additionally returns an i32[3] vector of the
+    UNCLAMPED per-kernel match counts [bc, sat, pfm] so the host can regrow
+    a saturated compaction capacity (truncation would otherwise silently
+    drop contacts)."""
     dim = poses.translation.shape[-1]
+    bc_needed = sat_needed = pfm_needed = jnp.int32(0)
     p_max = p_max or max_points(dim)
     a, b = pairs.body_a, pairs.body_b
     pose_a = _take_sim(poses, a)
@@ -156,7 +167,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         # fraction of the pair list — run one normalized pass on just them
         m = (((tag_a == shp.BALL) & (tag_b == shp.CUBOID))
              | ((tag_a == shp.CUBOID) & (tag_b == shp.BALL))) & pairs.valid
-        sel, act = _compact_mask(m, bc_capacity)
+        sel, act, bc_needed = _compact_mask(m, bc_capacity)
         swap = tag_a[sel] == shp.CUBOID  # True: A is the cuboid
         pa_s = _take_sim(poses, a[sel])
         pb_s = _take_sim(poses, b[sel])
@@ -227,7 +238,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
 
         cc = (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID) & pairs.valid
         if sat_capacity:
-            sel, act = _compact_mask(cc, sat_capacity)
+            sel, act, sat_needed = _compact_mask(cc, sat_capacity)
             n_l, pts_l, d_cc, np_cc = _cc_fn(
                 _take_sim(poses, a[sel]), _take_sim(poses, b[sel]),
                 par_a[sel, :dim], par_b[sel, :dim], prediction_distance)
@@ -259,7 +270,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                      & ((tag_b <= shp.CYLINDER) | (tag_b == shp.CONVEX)))
         pfm = ~handled & supported & pairs.valid
         if pfm_capacity:
-            sel, act = _compact_mask(pfm, pfm_capacity)
+            sel, act, pfm_needed = _compact_mask(pfm, pfm_capacity)
             n_p, p_p, d_p = pfm_contact(
                 tag_a[sel], par_a[sel], _take_sim(poses, a[sel]),
                 tag_b[sel], par_b[sel], _take_sim(poses, b[sel]), mask=act,
@@ -321,4 +332,7 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         num_points = jnp.where(pfm, 1, num_points)
 
     valid = pairs.valid & (num_points > 0) & (dist[:, 0] < prediction_distance)
-    return Contacts(a, b, normal_a, points_a, dist, num_points, valid)
+    contacts = Contacts(a, b, normal_a, points_a, dist, num_points, valid)
+    if with_overflow:
+        return contacts, jnp.stack([bc_needed, sat_needed, pfm_needed])
+    return contacts
