@@ -76,6 +76,14 @@ def support_core(tag, params, d, vertices=None, tri_verts=None,
     cone = jnp.where(pick_apex[:, None], apex, base)
     sup = jnp.where((tag == shp.CONE)[:, None], cone, sup)
 
+    # segment: better endpoint of params' [a | b] layout (standalone
+    # SEGMENT colliders, ≙ segment.wgsl's support role in the PFM path)
+    seg_a = p[:, :3]
+    seg_b = p[:, 3:6]
+    pick_a = jnp.sum(seg_a * d, -1) >= jnp.sum(seg_b * d, -1)
+    seg_sup = jnp.where(pick_a[:, None], seg_a, seg_b)
+    sup = jnp.where((tag == shp.SEGMENT)[:, None], seg_sup, sup)
+
     # triangle: arg-max over an explicit per-pair vertex triple [N, 3, 3]
     if tri_verts is not None:
         dots = jnp.einsum("nd,nkd->nk", d, tri_verts)
@@ -85,8 +93,15 @@ def support_core(tag, params, d, vertices=None, tri_verts=None,
         sup = jnp.where((tag == shp.TRIANGLE)[:, None], tri, sup)
         radius = jnp.where(tag == shp.TRIANGLE, tri_margin, radius)
 
-    # convex polyhedron: arg-max vertex over [first_vtx, first_vtx+num_vtx)
+    # convex polyhedron: arg-max vertex over [first_vtx, first_vtx+num_vtx).
+    # Standalone TRIANGLE colliders share the vertex-range layout
+    # (params = [first_vtx, 3]) and route here when no per-pair triple was
+    # supplied (the mesh narrow phase passes ``tri_verts`` instead).
     if vertices is not None and vertices.shape[0] > 0:
+        vtx_range = (tag == shp.CONVEX)
+        if tri_verts is None:
+            vtx_range |= tag == shp.TRIANGLE
+            radius = jnp.where(tag == shp.TRIANGLE, tri_margin, radius)
         first = p[:, 0].astype(jnp.int32)
         num = p[:, 1].astype(jnp.int32)
         v_idx = jnp.arange(vertices.shape[0], dtype=jnp.int32)
@@ -96,7 +111,7 @@ def support_core(tag, params, d, vertices=None, tri_verts=None,
         dots = jnp.where(in_range, dots, -jnp.inf)
         best = jnp.argmax(dots, axis=-1)
         cvx = vertices[best]
-        sup = jnp.where((tag == shp.CONVEX)[:, None], cvx, sup)
+        sup = jnp.where(vtx_range[:, None], cvx, sup)
     return sup, radius
 
 

@@ -30,6 +30,51 @@ def _take_sim(poses: Sim, idx):
     return Sim(poses.rotation[idx], poses.translation[idx], poses.scale[idx])
 
 
+def _topk_by_score(shapes: shp.ShapeSet, first_idx, num_idx, c_local,
+                   active, k_best: int, score_fn, offset, max_score,
+                   k_clusters: int = 4):
+    """EXACT top-``k_best`` primitives by ``score_fn`` around point
+    ``c_local`` (mesh-local), per pair row.
+
+    Small meshes: dense [P, T] scoring of the whole (broadcast) index buffer.
+    Large clustered meshes: certified iterative cluster expansion
+    (``mesh_accel.point_topk_prims`` — the TPU replacement for the
+    reference's per-thread BVH descent, narrow_phase.wgsl:173). Both paths
+    return the same ``(ids [P, K], scores [P, K])`` (global primitive ids;
+    1e9-padded scores), so the contact math downstream is path-agnostic.
+
+    ``score_fn`` must satisfy ``score >= dist(point, prim_aabb) - offset``
+    and scores ≥ ``max_score`` are discarded by the caller (both per-row
+    broadcastable) — see ``point_topk_prims``.
+    """
+    from wgmath_tpu.queries.mesh_accel import point_topk_prims, use_clusters
+
+    if use_clusters(shapes):
+        return point_topk_prims(
+            shapes, first_idx, num_idx * active, c_local, k_best, score_fn,
+            offset=offset, k_clusters=k_clusters, max_score=max_score)
+    prims = shapes.indices
+    t_max = max(prims.shape[0], 1)
+    verts = tuple(shapes.vertices[prims[:, i]][None]
+                  for i in range(prims.shape[1]))
+    s = score_fn(c_local[:, None, :], *verts)
+    ids = jnp.arange(t_max, dtype=jnp.int32)
+    mask = ((ids[None, :] >= first_idx[:, None])
+            & (ids[None, :] < (first_idx + num_idx)[:, None])
+            & active[:, None])
+    s = jnp.where(mask, s, 1e9)
+    neg, best = jax.lax.top_k(-s, k_best)
+    return best, -neg
+
+
+def _gather_prim_verts(shapes: shp.ShapeSet, ids):
+    """[P, K] global primitive ids → tuple of k vertex arrays [P, K, dim]."""
+    prim = shapes.indices[jnp.clip(ids, 0, max(shapes.indices.shape[0] - 1,
+                                               0))]
+    return tuple(shapes.vertices[prim[..., i]]
+                 for i in range(shapes.indices.shape[1]))
+
+
 def mesh_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                        prediction: float, *, pair_cap: int = 512,
                        k_best: int = 4, p_max: int = 0) -> Contacts:
@@ -68,29 +113,21 @@ def mesh_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     # ball center in mesh local space
     c_local = sim_ops.inv_mul_pt(mesh_pose, ball_pose.translation)
 
-    t_max = max(shapes.indices.shape[0], 1)
-    tri_idx = jnp.arange(t_max, dtype=jnp.int32)
-    in_range = ((tri_idx[None, :] >= first_idx[:, None])
-                & (tri_idx[None, :] < (first_idx + num_idx)[:, None]))
-    tris = shapes.indices  # [T, 3]
-    va = shapes.vertices[tris[:, 0]]
-    vb = shapes.vertices[tris[:, 1]]
-    vc = shapes.vertices[tris[:, 2]]
+    # K nearest triangles by surface distance — dense scoring on small
+    # meshes, certified cluster expansion on large ones (mesh_accel)
+    def score_fn(pt, va, vb, vc):
+        proj = project_triangle(pt, va, vb, vc)
+        return (jnp.linalg.norm(pt - proj.point, axis=-1) - radius[:, None])
 
-    # dense projection: center vs every triangle [pair_cap, T]
-    proj = project_triangle(c_local[:, None, :], va[None], vb[None], vc[None])
-    delta = c_local[:, None, :] - proj.point
-    d_center = jnp.linalg.norm(delta, axis=-1)
-    d_surface = d_center - radius[:, None]
-    score = jnp.where(in_range & active[:, None], d_surface, 1e9)
-
-    neg_d, best = jax.lax.top_k(-score, k_best)  # K smallest distances
-    best_d = -neg_d  # [pair_cap, K]
+    best, best_d = _topk_by_score(
+        shapes, first_idx, num_idx, c_local, active, k_best, score_fn,
+        offset=radius, max_score=prediction)
     hit = best_d < prediction
 
     # contact data per (pair, k): point on ball surface, normal ball→mesh…
-    bidx = best  # [pair_cap, K] triangle ids
-    bpt = jnp.take_along_axis(proj.point, bidx[..., None].repeat(dim, -1), 1)
+    va, vb, vc = _gather_prim_verts(shapes, best)  # K winners only
+    proj = project_triangle(c_local[:, None, :], va, vb, vc)
+    bpt = proj.point  # [pair_cap, K, dim]
     n_mesh_local = c_local[:, None, :] - bpt
     nn = jnp.linalg.norm(n_mesh_local, axis=-1, keepdims=True)
     n_mesh_local = jnp.where(nn > 1e-9, n_mesh_local / jnp.maximum(nn, 1e-30),
@@ -176,20 +213,26 @@ def mesh_convex_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     first_idx = shapes.params[mesh_body, 2].astype(jnp.int32)
     num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
 
-    # candidate triangles: K nearest centroids to the convex center (in mesh
-    # local space)
+    # candidate triangles: K nearest to the convex center by SURFACE
+    # distance (mesh-local; exact on both the dense and clustered paths).
+    # A triangle can only produce a contact if its surface comes within
+    # the convex's bounding radius + margin + prediction of the center —
+    # that bound (scaled into mesh-local units) is the expansion cutoff.
     c_local = sim_ops.inv_mul_pt(mesh_pose, cvx_pose.translation)
     tris = shapes.indices
-    t_max = max(tris.shape[0], 1)
-    centroids = (shapes.vertices[tris[:, 0]] + shapes.vertices[tris[:, 1]]
-                 + shapes.vertices[tris[:, 2]]) / 3.0
-    tri_idx = jnp.arange(t_max, dtype=jnp.int32)
-    in_range = ((tri_idx[None, :] >= first_idx[:, None])
-                & (tri_idx[None, :] < (first_idx + num_idx)[:, None]))
-    d2 = jnp.sum((c_local[:, None, :] - centroids[None]) ** 2, axis=-1)
-    d2 = jnp.where(in_range & active[:, None], d2, 1e18)
-    neg, best = jax.lax.top_k(-d2, k_best)  # K nearest
-    cand_ok = (-neg) < 1e17
+    he_cvx = shp.local_aabb_half_extents(shapes, dim)[cvx_body]
+    cvx_rad = jnp.linalg.norm(he_cvx, axis=-1) * cvx_pose.scale
+    reach = (cvx_rad + tri_margin + prediction) / jnp.maximum(
+        mesh_pose.scale, 1e-9)
+
+    def score_fn(pt, va, vb, vc):
+        proj = project_triangle(pt, va, vb, vc)
+        return jnp.linalg.norm(pt - proj.point, axis=-1)
+
+    best, best_s = _topk_by_score(
+        shapes, first_idx, num_idx, c_local, active, k_best, score_fn,
+        offset=0.0, max_score=reach)
+    cand_ok = best_s < jnp.minimum(reach[:, None], 1e8)
 
     # flatten (pair, k) pseudo-pairs: A = triangle (mesh frame), B = convex
     mk = pair_cap * k_best
@@ -268,23 +311,19 @@ def polyline_ball_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
 
     c_local = sim_ops.inv_mul_pt(mesh_pose, ball_pose.translation)
-    segs = shapes.indices  # [S, 2]
-    s_max = max(segs.shape[0], 1)
-    va = shapes.vertices[segs[:, 0]]
-    vb = shapes.vertices[segs[:, 1]]
-    proj = project_segment(c_local[:, None, :], va[None], vb[None])
-    delta = c_local[:, None, :] - proj.point
-    d_center = jnp.linalg.norm(delta, axis=-1)
-    d_surface = d_center - radius[:, None]
-    seg_ids = jnp.arange(s_max, dtype=jnp.int32)
-    in_range = ((seg_ids[None, :] >= first_idx[:, None])
-                & (seg_ids[None, :] < (first_idx + num_idx)[:, None]))
-    score = jnp.where(in_range & active[:, None], d_surface, 1e9)
-    neg_d, best = jax.lax.top_k(-score, k_best)
-    best_d = -neg_d
+
+    def score_fn(pt, va, vb):
+        proj = project_segment(pt, va, vb)
+        return (jnp.linalg.norm(pt - proj.point, axis=-1) - radius[:, None])
+
+    best, best_d = _topk_by_score(
+        shapes, first_idx, num_idx, c_local, active, k_best, score_fn,
+        offset=radius, max_score=prediction)
     hit = best_d < prediction
 
-    bpt = jnp.take_along_axis(proj.point, best[..., None].repeat(dim, -1), 1)
+    va, vb = _gather_prim_verts(shapes, best)
+    proj = project_segment(c_local[:, None, :], va, vb)
+    bpt = proj.point
     n_mesh = c_local[:, None, :] - bpt
     nn = jnp.linalg.norm(n_mesh, axis=-1, keepdims=True)
     n_mesh = jnp.where(nn > 1e-9, n_mesh / jnp.maximum(nn, 1e-30),
@@ -347,14 +386,43 @@ def polyline_cuboid_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     first_idx = shapes.params[mesh_body, 2].astype(jnp.int32)
     num_idx = shapes.params[mesh_body, 3].astype(jnp.int32)
 
-    segs = shapes.indices  # [S, 2]
-    s_max = max(segs.shape[0], 1)
+    c_box_local = sim_ops.inv_mul_pt(mesh_pose, box_pose.translation)
+    # candidate segments: the whole buffer (small polylines) or an exact
+    # distance-preselect around the box center (clustered). Any segment
+    # whose mesh-local distance to the center exceeds the box reach has
+    # SAT separation > prediction, so the preselect loses nothing.
+    from wgmath_tpu.queries.mesh_accel import use_clusters
+    from wgmath_tpu.queries.projection import project_segment
+
+    if use_clusters(shapes):
+        reach = ((jnp.linalg.norm(he, axis=-1) + prediction)
+                 * box_pose.scale / jnp.maximum(mesh_pose.scale, 1e-9))
+
+        def seg_dist(pt, va, vb):
+            return jnp.linalg.norm(
+                pt - project_segment(pt, va, vb).point, axis=-1)
+
+        from wgmath_tpu.queries.mesh_accel import point_topk_prims
+        pre_ids, pre_s = point_topk_prims(
+            shapes, first_idx, num_idx * active, c_box_local,
+            max(4 * k_best, 8), seg_dist, offset=0.0, max_score=reach)
+        sv0, sv1 = _gather_prim_verts(shapes, pre_ids)
+        seg_mask = pre_s < jnp.minimum(reach[:, None], 1e8)
+    else:
+        segs = shapes.indices
+        s_max = max(segs.shape[0], 1)
+        sv0 = shapes.vertices[segs[:, 0]][None]
+        sv1 = shapes.vertices[segs[:, 1]][None]
+        seg_ids = jnp.arange(s_max, dtype=jnp.int32)
+        seg_mask = ((seg_ids[None, :] >= first_idx[:, None])
+                    & (seg_ids[None, :] < (first_idx + num_idx)[:, None])
+                    & active[:, None])
     v0w = sim_ops.mul_pt(
         Sim(mesh_pose.rotation[:, None], mesh_pose.translation[:, None],
-            mesh_pose.scale[:, None]), shapes.vertices[segs[:, 0]][None])
+            mesh_pose.scale[:, None]), sv0)
     v1w = sim_ops.mul_pt(
         Sim(mesh_pose.rotation[:, None], mesh_pose.translation[:, None],
-            mesh_pose.scale[:, None]), shapes.vertices[segs[:, 1]][None])
+            mesh_pose.scale[:, None]), sv1)
     box_b = Sim(box_pose.rotation[:, None], box_pose.translation[:, None],
                 box_pose.scale[:, None])
     p0 = sim_ops.inv_mul_pt(box_b, v0w)  # [P, S, 2] in box frame
@@ -384,10 +452,7 @@ def polyline_cuboid_contacts(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
     use_face = face_sep > sep_n - 1e-3  # face manifolds preferred near ties
     sep = jnp.maximum(face_sep, sep_n)
 
-    seg_ids = jnp.arange(s_max, dtype=jnp.int32)
-    in_range = ((seg_ids[None, :] >= first_idx[:, None])
-                & (seg_ids[None, :] < (first_idx + num_idx)[:, None]))
-    score = jnp.where(in_range & active[:, None], sep, 1e9)
+    score = jnp.where(seg_mask, sep, 1e9)
     neg_s, best = jax.lax.top_k(-score, k_best)  # [P, K]
     best_sep = -neg_s
 

@@ -266,8 +266,11 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         handled |= (tag_a == shp.BALL) & (tag_b == shp.CUBOID)
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.BALL)
         handled |= (tag_a == shp.CUBOID) & (tag_b == shp.CUBOID)
-        supported = (((tag_a <= shp.CYLINDER) | (tag_a == shp.CONVEX))
-                     & ((tag_b <= shp.CYLINDER) | (tag_b == shp.CONVEX)))
+        # ≤ TRIANGLE covers ball..cylinder plus standalone segment/triangle
+        # colliders (their supports live in gjk.support_core); CONVEX rides
+        # the vertex-range arg-max
+        supported = (((tag_a <= shp.TRIANGLE) | (tag_a == shp.CONVEX))
+                     & ((tag_b <= shp.TRIANGLE) | (tag_b == shp.CONVEX)))
         pfm = ~handled & supported & pairs.valid
         if pfm_capacity:
             sel, act, pfm_needed = _compact_mask(pfm, pfm_capacity)

@@ -155,14 +155,94 @@ def ray_triangle(origin, direction, va, vb, vc):
     return jnp.where(hit, t, INF)
 
 
+def ray_segment_2d(origin, direction, va, vb):
+    """2D ray vs segment: solve o + t·d = a + u·(b−a); t ≥ 0, u ∈ [0, 1].
+    Collinear overlaps count as misses (same degenerate-denominator guard
+    the reference's 2x2 solves use)."""
+    ab = vb - va
+    ao = va - origin
+
+    def cross2(p, q):
+        return p[..., 0] * q[..., 1] - p[..., 1] * q[..., 0]
+
+    denom = cross2(direction, ab)
+    inv = _safe_div(jnp.ones_like(denom), denom)
+    t = cross2(ao, ab) * inv
+    u = cross2(ao, direction) * inv
+    hit = (jnp.abs(denom) > 1e-12) & (t >= 0.0) & (u >= 0.0) & (u <= 1.0)
+    return jnp.where(hit, t, INF)
+
+
+def _ray_mesh_clustered(origin, direction, shapes: shp.ShapeSet,
+                        first_idx, num_idx, prim_fn, k_clusters: int = 4):
+    """Exact nearest hit via the two-level cluster grid (queries.mesh_accel;
+    ≙ the reference's per-thread BVH ray descent, but as batched rounds of
+    "expand the K nearest-entry clusters" instead of a divergent stack walk).
+
+    Each round tests the K remaining clusters with the smallest slab-entry t
+    per ray and retires them; a ray is settled once every remaining cluster's
+    entry exceeds its best hit (a hit inside a cluster can't precede the
+    cluster's entry), so the loop is exact and runs ~1-2 rounds on coherent
+    rays. Memory is O(rays × clusters) for the entry table — chunk the ray
+    batch at the call site for very large casts."""
+    from wgmath_tpu.queries.mesh_accel import (MESH_LEAF, cluster_range,
+                                               gather_prims)
+
+    cmin, cmax = shapes.cluster_min, shapes.cluster_max
+    n_rays = origin.shape[0]
+    fc, nc = cluster_range(first_idx, num_idx)
+    cid = jnp.arange(cmin.shape[0], dtype=jnp.int32)
+    in_range = ((cid[None, :] >= fc[:, None])
+                & (cid[None, :] < (fc + nc)[:, None]))
+    inv_d = _safe_div(jnp.ones_like(direction), direction)
+    t1 = (cmin[None] - origin[:, None, :]) * inv_d[:, None, :]
+    t2 = (cmax[None] - origin[:, None, :]) * inv_d[:, None, :]
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & in_range
+    entry = jnp.where(hit, jnp.maximum(tmin, 0.0), INF)  # [P, C]
+
+    lane = jnp.arange(MESH_LEAF, dtype=jnp.int32)
+    rows = jnp.arange(n_rays)[:, None]
+    last = (first_idx + num_idx)[:, None]
+
+    def cond(carry):
+        t_best, entry_rem = carry
+        return jnp.any(jnp.min(entry_rem, axis=-1) < t_best)
+
+    def body(carry):
+        t_best, entry_rem = carry
+        neg, best = jax.lax.top_k(-entry_rem, k_clusters)
+        cand = (best[:, :, None] * MESH_LEAF + lane[None, None, :]).reshape(
+            n_rays, k_clusters * MESH_LEAF)
+        verts = gather_prims(shapes, cand)
+        t = prim_fn(origin[:, None, :], direction[:, None, :], *verts)
+        ok = ((cand >= first_idx[:, None]) & (cand < last)
+              & jnp.repeat(jnp.isfinite(-neg), MESH_LEAF, axis=1))
+        t = jnp.where(ok, t, INF)
+        t_best = jnp.minimum(t_best, jnp.min(t, axis=-1))
+        entry_rem = entry_rem.at[rows, best].set(INF)
+        return t_best, entry_rem
+
+    t_best, _ = jax.lax.while_loop(
+        cond, body, (jnp.full((n_rays,), INF), entry))
+    return t_best
+
+
 def ray_trimesh(origin, direction, shapes: shp.ShapeSet, first_idx, num_idx):
-    """Min-t over a mesh's triangle range (dense [rays × T] sweep, the same
-    TPU-native trade as the mesh narrow phase; the device LBVH is the
-    escape hatch for huge meshes)."""
+    """Min-t over a mesh's triangle range. Small meshes: dense [rays × T]
+    sweep (cheapest below ~2k triangles). Large meshes: exact cluster
+    expansion (``_ray_mesh_clustered`` ≙ the reference's BVH ray traversal,
+    polyline.wgsl:58 / narrow_phase.wgsl descent)."""
+    from wgmath_tpu.queries.mesh_accel import use_clusters
+
     tris = shapes.indices
     t_max = max(tris.shape[0], 1)
     if tris.shape[0] == 0:
         return jnp.full(origin.shape[:-1], INF)
+    if use_clusters(shapes):
+        return _ray_mesh_clustered(origin, direction, shapes,
+                                   first_idx, num_idx, ray_triangle)
     va = shapes.vertices[tris[:, 0]]
     vb = shapes.vertices[tris[:, 1]]
     vc = shapes.vertices[tris[:, 2]]
@@ -171,6 +251,29 @@ def ray_trimesh(origin, direction, shapes: shp.ShapeSet, first_idx, num_idx):
     tri_ids = jnp.arange(t_max, dtype=jnp.int32)
     in_range = ((tri_ids[None, :] >= first_idx[:, None])
                 & (tri_ids[None, :] < (first_idx + num_idx)[:, None]))
+    t = jnp.where(in_range, t, INF)
+    return jnp.min(t, axis=-1)
+
+
+def ray_polyline(origin, direction, shapes: shp.ShapeSet, first_idx, num_idx):
+    """Min-t over a 2D polyline's segment range (dense below the cluster
+    threshold, cluster-expanded above — same scheme as ``ray_trimesh``)."""
+    from wgmath_tpu.queries.mesh_accel import use_clusters
+
+    segs = shapes.indices
+    s_max = max(segs.shape[0], 1)
+    if segs.shape[0] == 0:
+        return jnp.full(origin.shape[:-1], INF)
+    if use_clusters(shapes):
+        return _ray_mesh_clustered(origin, direction, shapes,
+                                   first_idx, num_idx, ray_segment_2d)
+    va = shapes.vertices[segs[:, 0]]
+    vb = shapes.vertices[segs[:, 1]]
+    t = ray_segment_2d(origin[:, None, :], direction[:, None, :],
+                       va[None], vb[None])  # [N, S]
+    seg_ids = jnp.arange(s_max, dtype=jnp.int32)
+    in_range = ((seg_ids[None, :] >= first_idx[:, None])
+                & (seg_ids[None, :] < (first_idx + num_idx)[:, None]))
     t = jnp.where(in_range, t, INF)
     return jnp.min(t, axis=-1)
 
@@ -190,6 +293,11 @@ def cast(shapes: shp.ShapeSet, poses: Sim, origins: jax.Array,
     t = jnp.where(tag == shp.BALL, ray_ball(o_loc, d_loc, p[:, 0]), t)
     dim = origins.shape[-1]
     t = jnp.where(tag == shp.CUBOID, ray_cuboid(o_loc, d_loc, p[:, :dim]), t)
+    if dim == 2 and shp.POLYLINE in shapes.kinds:
+        t_poly = ray_polyline(o_loc, d_loc, shapes,
+                              p[:, 2].astype(jnp.int32),
+                              p[:, 3].astype(jnp.int32))
+        t = jnp.where(tag == shp.POLYLINE, t_poly, t)
     if dim == 3:
         t = jnp.where(tag == shp.CAPSULE,
                       ray_capsule(o_loc, d_loc, p[:, 0], p[:, 1]), t)
@@ -221,6 +329,8 @@ register_module(
             "ray_triangle": ray_triangle,
             "ray_cast": cast,
             "ray_trimesh": ray_trimesh,
+            "ray_polyline": ray_polyline,
+            "ray_segment_2d": ray_segment_2d,
         },
         entries={
             "cast_balls": EntryPoint(

@@ -24,9 +24,18 @@ TRI_MARGIN = 0.02  # collision-margin shell around mesh triangles
 
 def trimesh(vertices: np.ndarray, indices: np.ndarray) -> shp.ShapeSet:
     """One triangle-mesh collider (3D). The broad-phase bound includes the
-    triangle collision margin so contacts engage at the margin standoff."""
+    triangle collision margin so contacts engage at the margin standoff.
+
+    Triangles are Morton-ordered into MESH_LEAF clusters with per-cluster
+    AABBs (queries.mesh_accel ≙ the reference's CPU-built flattened BVH,
+    shape.rs:307-480) so large meshes avoid the dense per-triangle sweeps."""
+    from wgmath_tpu.queries.mesh_accel import build_clusters
+
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
+    n_tris = len(indices)
+    indices, cmin, cmax = build_clusters(vertices, indices,
+                                         margin=TRI_MARGIN)
     he = (vertices.max(0) - vertices.min(0)) / 2.0
     center = (vertices.max(0) + vertices.min(0)) / 2.0
     # conservative symmetric local bound (shape AABB helper reads params[4:7])
@@ -35,33 +44,40 @@ def trimesh(vertices: np.ndarray, indices: np.ndarray) -> shp.ShapeSet:
     params[0, 0] = 0  # first_vtx
     params[0, 1] = len(vertices)
     params[0, 2] = 0  # first_idx
-    params[0, 3] = len(indices)
+    params[0, 3] = n_tris  # real count; rows past it are cluster padding
     params[0, 4:7] = he_sym
     return shp.ShapeSet(
         jnp.asarray([shp.TRIMESH], jnp.int32), jnp.asarray(params),
         jnp.asarray(vertices), jnp.asarray(indices),
+        jnp.asarray(cmin), jnp.asarray(cmax),
         kinds=frozenset((shp.TRIMESH,)))
 
 
 def polyline(vertices: np.ndarray, *, closed: bool = False) -> shp.ShapeSet:
-    """One polyline collider (2D boundary or 3D wire)."""
+    """One polyline collider (2D boundary or 3D wire). Segments are
+    Morton-clustered like trimesh triangles (queries.mesh_accel)."""
+    from wgmath_tpu.queries.mesh_accel import build_clusters
+
     vertices = np.asarray(vertices, np.float32)
     n = len(vertices)
     segs = [[i, i + 1] for i in range(n - 1)]
     if closed:
         segs.append([n - 1, 0])
     indices = np.asarray(segs, np.int32)
+    n_segs = len(indices)
+    indices, cmin, cmax = build_clusters(vertices, indices)
     dim = vertices.shape[1]
     he = (vertices.max(0) - vertices.min(0)) / 2.0
     center = (vertices.max(0) + vertices.min(0)) / 2.0
     he_sym = np.abs(center) + he
     params = np.zeros((1, shp.NUM_PARAMS), np.float32)
     params[0, 1] = n
-    params[0, 3] = len(indices)
+    params[0, 3] = n_segs
     params[0, 4:4 + dim] = he_sym
     return shp.ShapeSet(
         jnp.asarray([shp.POLYLINE], jnp.int32), jnp.asarray(params),
         jnp.asarray(vertices), jnp.asarray(indices),
+        jnp.asarray(cmin), jnp.asarray(cmax),
         kinds=frozenset((shp.POLYLINE,)))
 
 

@@ -59,12 +59,29 @@ class ShapeSet:
     # shared flattened mesh storage (≙ ShapeBuffers vertex/index buffers)
     vertices: jax.Array  # f32 [V, dim]
     indices: jax.Array  # i32 [I, dim] (triangles in 3D, segments in 2D)
+    # two-level mesh acceleration (queries.mesh_accel ≙ the reference's
+    # flattened per-shape BVH, shape.rs:307-480): one AABB per MESH_LEAF-run
+    # of Morton-ordered primitives; cluster id ≡ primitive id // MESH_LEAF,
+    # so mesh constructors pad their index ranges to that multiple
+    cluster_min: jax.Array = None  # f32 [C, dim]
+    cluster_max: jax.Array = None  # f32 [C, dim]
     kinds: frozenset = frozenset(
         (BALL, CUBOID, CAPSULE, CONE, CYLINDER, SEGMENT, TRIANGLE, POLYLINE,
          TRIMESH, CONVEX))
 
+    def __post_init__(self):
+        # default empty cluster arrays for non-mesh constructors. jax tree
+        # internals unflatten with None/symbolic leaves (e.g. shard_map
+        # structure probing) — leave those untouched
+        if (self.cluster_min is None
+                and getattr(self.vertices, "ndim", None) == 2):
+            dim = self.vertices.shape[1]
+            self.cluster_min = jnp.zeros((0, dim), jnp.float32)
+            self.cluster_max = jnp.zeros((0, dim), jnp.float32)
+
     def tree_flatten(self):
-        return (self.tag, self.params, self.vertices, self.indices), self.kinds
+        return (self.tag, self.params, self.vertices, self.indices,
+                self.cluster_min, self.cluster_max), self.kinds
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -133,13 +150,61 @@ class ShapeSet:
                         kinds=frozenset((CONE,)))
 
     @staticmethod
+    def segments(a, b) -> "ShapeSet":
+        """Standalone 3D segment colliders with endpoints ``a``/``b``
+        [N, 3] in shape-local space (≙ shapes/segment.wgsl). Params:
+        [ax, ay, az, bx, by, bz] — endpoints double as the support core
+        in the GJK narrow phase (queries/gjk.support_core)."""
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        n, dim = a.shape
+        params = (jnp.zeros((n, NUM_PARAMS), jnp.float32)
+                  .at[:, :dim].set(a).at[:, dim:2 * dim].set(b))
+        return ShapeSet(jnp.full((n,), SEGMENT, jnp.int32), params,
+                        jnp.zeros((0, dim), jnp.float32),
+                        jnp.zeros((0, dim), jnp.int32),
+                        kinds=frozenset((SEGMENT,)))
+
+    @staticmethod
+    def triangles(verts) -> "ShapeSet":
+        """Standalone 3D triangle colliders, ``verts`` [N, 3, 3] in
+        shape-local space (≙ shapes/triangle.wgsl). Stored as vertex-buffer
+        ranges (params = [first_vtx, 3]) like CONVEX, so the GJK support
+        arg-max and ``ShapeSet.concat`` rebasing apply unchanged; the
+        conservative local bound rides params[4:7]."""
+        verts = jnp.asarray(verts, jnp.float32)
+        n = verts.shape[0]
+        flat = verts.reshape(n * 3, 3)
+        he_sym = jnp.max(jnp.abs(verts), axis=1)  # symmetric |v| bound
+        params = (jnp.zeros((n, NUM_PARAMS), jnp.float32)
+                  .at[:, 0].set(jnp.arange(n, dtype=jnp.float32) * 3)
+                  .at[:, 1].set(3.0)
+                  .at[:, 4:7].set(he_sym))
+        return ShapeSet(jnp.full((n,), TRIANGLE, jnp.int32), params, flat,
+                        jnp.zeros((0, 3), jnp.int32),
+                        kinds=frozenset((TRIANGLE,)))
+
+    @staticmethod
     def concat(*sets: "ShapeSet") -> "ShapeSet":
         """Concatenate shape sets, rebasing mesh buffer references."""
-        tags, params, verts, idxs = [], [], [], []
+        from wgmath_tpu.queries.mesh_accel import MESH_LEAF
+
+        tags, params, verts, idxs, cmins, cmaxs = [], [], [], [], [], []
         v_off = 0
         i_off = 0
         kinds: frozenset = frozenset()
+        has_clusters = any(s.cluster_min.shape[0] > 0 for s in sets)
         for s in sets:
+            if (has_clusters
+                    and s.cluster_min.shape[0] * MESH_LEAF
+                    != s.indices.shape[0]):
+                # cluster id ≡ tri id // MESH_LEAF needs every index range
+                # L-aligned AND cluster-covered (mesh constructors guarantee
+                # both; hand-built sets must too)
+                raise ValueError(
+                    f"cluster-accelerated concat needs one cluster per "
+                    f"MESH_LEAF index rows: {s.cluster_min.shape[0]} "
+                    f"clusters vs {s.indices.shape[0]} index rows")
             p = s.params
             is_mesh = (s.tag >= POLYLINE) | (s.tag == TRIANGLE)
             p = p.at[:, 0].add(jnp.where(is_mesh, v_off, 0.0))
@@ -149,11 +214,14 @@ class ShapeSet:
             verts.append(s.vertices)
             idx = s.indices + v_off if s.indices.size else s.indices
             idxs.append(idx)
+            cmins.append(s.cluster_min)
+            cmaxs.append(s.cluster_max)
             v_off += s.vertices.shape[0]
             i_off += s.indices.shape[0]
             kinds = kinds | s.kinds
         return ShapeSet(jnp.concatenate(tags), jnp.concatenate(params),
                         jnp.concatenate(verts), jnp.concatenate(idxs),
+                        jnp.concatenate(cmins), jnp.concatenate(cmaxs),
                         kinds=kinds)
 
 
@@ -178,11 +246,15 @@ def local_aabb_half_extents(shapes: ShapeSet, dim: int) -> jax.Array:
         capsule_he = jnp.concatenate([rad, hh + rad], axis=1)
         round_he = jnp.concatenate([rad, hh], axis=1)
     mesh_he = p[:, 4:4 + dim]
+    # segments store raw endpoints in params[:2·dim] (no room for a cached
+    # bound): symmetric cover = per-axis max |endpoint|
+    seg_he = jnp.maximum(jnp.abs(p[:, :dim]), jnp.abs(p[:, dim:2 * dim]))
     he = jnp.where((tag == BALL)[:, None], ball_he,
          jnp.where((tag == CUBOID)[:, None], cuboid_he,
          jnp.where((tag == CAPSULE)[:, None], capsule_he,
          jnp.where(((tag == CONE) | (tag == CYLINDER))[:, None], round_he,
-                   mesh_he))))
+         jnp.where((tag == SEGMENT)[:, None], seg_he,
+                   mesh_he)))))
     return he
 
 
