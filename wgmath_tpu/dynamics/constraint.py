@@ -18,6 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import tree_util
 
 from wgmath_tpu.dynamics.body import Velocity, WorldMassProperties
@@ -228,13 +229,40 @@ def build_constraints(poses: Sim, vels: Velocity,
     p_max = contacts.points_a.shape[1]  # manifold width (≤ max_points(dim))
     s_len = sub_len(dim)
     id1, id2 = contacts.body_a, contacts.body_b
-    pose1 = _take_sim(poses, id1)
-    pose2 = _take_sim(poses, id2)
-    vel1 = Velocity(vels.linear[id1], vels.angular[id1])
-    vel2 = Velocity(vels.linear[id2], vels.angular[id2])
-    im1, im2 = mprops.inv_mass[id1], mprops.inv_mass[id2]
-    ii1, ii2 = mprops.inv_inertia[id1], mprops.inv_inertia[id2]
-    com1, com2 = mprops.com[id1], mprops.com[id2]
+    # ONE merged wide gather of every per-body input for both sides: the
+    # 16 narrow gathers this replaces (pose/vel/mass/inertia/com × 2) each
+    # pay TPU's per-ROW gather cost — this is solve-setup's hottest spot
+    n_b = poses.rotation.shape[0]
+    cols = [poses.rotation, poses.translation, poses.scale,
+            vels.linear, vels.angular, mprops.inv_mass,
+            mprops.inv_inertia.reshape(n_b, -1), mprops.com]
+    cols = [x[:, None] if x.ndim == 1 else x for x in cols]
+    offs = np.cumsum([0] + [x.shape[1] for x in cols])
+    packed = jnp.concatenate(cols, axis=1)
+    pp = packed[jnp.concatenate([id1, id2])]
+    cc_ = id1.shape[0]
+
+    def unpack(side, i, shaped=None):
+        v = pp[:cc_, offs[i]:offs[i + 1]] if side == 0 else \
+            pp[cc_:, offs[i]:offs[i + 1]]
+        if shaped == "scalar":
+            return v[:, 0]
+        if shaped is not None:
+            return v.reshape((cc_,) + shaped)
+        return v
+
+    ii_shape = mprops.inv_inertia.shape[1:]
+    ang_scalar = vels.angular.ndim == 1
+    pose1 = Sim(unpack(0, 0), unpack(0, 1), unpack(0, 2, "scalar"))
+    pose2 = Sim(unpack(1, 0), unpack(1, 1), unpack(1, 2, "scalar"))
+    vel1 = Velocity(unpack(0, 3),
+                    unpack(0, 4, "scalar") if ang_scalar else unpack(0, 4))
+    vel2 = Velocity(unpack(1, 3),
+                    unpack(1, 4, "scalar") if ang_scalar else unpack(1, 4))
+    im1, im2 = unpack(0, 5), unpack(1, 5)
+    ii1 = unpack(0, 6, ii_shape if ii_shape else "scalar")
+    ii2 = unpack(1, 6, ii_shape if ii_shape else "scalar")
+    com1, com2 = unpack(0, 7), unpack(1, 7)
 
     force_dir1 = -sim_ops.mul_unit_vec(pose1, contacts.normal_a)
     tangents1 = tangent_directions(force_dir1, vel1.linear, vel2.linear)
@@ -379,8 +407,18 @@ def update_rhs_sorted(ss, poses: Sim, params: SimParams):
     info_dist, info_normal_vel, t_rhs_wo_bias). Lets the TGS substep loop
     keep every constraint array in sorted space — the full-field re-sort per
     substep disappears (solver.wgsl update_constraints:103-170 parity)."""
-    pose1 = _take_sim(poses, ss.body_a)
-    pose2 = _take_sim(poses, ss.body_b)
+    # ONE merged wide gather for both sides' poses: TPU gather cost is per
+    # ROW, so 1×2C rows of [rot|trans|scale] beats 6×C narrow gathers
+    # (rotation/translation/scale × two sides) ~3x — this relinearization
+    # runs every substep and was the single largest substep cost
+    rw = poses.rotation.shape[-1]
+    dim = poses.translation.shape[-1]
+    packed = jnp.concatenate(
+        [poses.rotation, poses.translation, poses.scale[:, None]], axis=-1)
+    pp = packed[jnp.concatenate([ss.body_a, ss.body_b])]
+    c = ss.body_a.shape[0]
+    pose1 = Sim(pp[:c, :rw], pp[:c, rw:rw + dim], pp[:c, rw + dim])
+    pose2 = Sim(pp[c:, :rw], pp[c:, rw:rw + dim], pp[c:, rw + dim])
     inv_dt = params.inv_dt
     p1 = sim_ops.mul_pt(Sim(pose1.rotation[:, None], pose1.translation[:, None],
                             pose1.scale[:, None]), ss.local_pt_a)

@@ -29,6 +29,7 @@ copies) is reproduced with a bounded ``fori_loop`` over each body's CSR row.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -798,7 +799,8 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
 
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                         layout, num_colors, *, cmax: int, dim: int,
-                        shard=None, packed_fields=None, color_lo=1):
+                        shard=None, packed_fields=None, color_lo=1,
+                        windows=None):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
@@ -814,28 +816,43 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     to the reference's per-color kernel launches, solver.rs:238-460).
     Constraint fields/impulses stay replicated; impulse updates are psum'd
     the same way so every replica stays bitwise consistent.
+
+    ``windows``: optional static per-color window LADDER, a tuple of one
+    window size per color (index c uses ``windows[c-1]``). Gather/scatter
+    rows per color then track the actual class size (bucketed by the host
+    from the previous frame's class counts) instead of paying the uniform
+    worst-case ``cmax`` for every color — in a jammed pile the tail colors
+    hold ~10-20%-occupancy classes, so the uniform window wastes most of the
+    sweep's memory traffic. Colors run as a statically-unrolled loop of
+    ``lax.cond``s (empty classes skip their body on this backend). Classes
+    larger than their rung are left partially unswept for one frame and
+    re-bucketed by ``step_checked`` via the exported class counts — the same
+    contract as every other capacity in the pipeline. Unsharded only.
     """
     p_max = n_imp_s.shape[1]
     order_padded, offsets, counts = layout
     axis_name, n_shards = shard if shard is not None else (None, 1)
     # per-device window slice; cmax must divide evenly (solve() rounds up)
     assert cmax % n_shards == 0
-    lw = cmax // n_shards
-    slot = jnp.arange(lw, dtype=jnp.int32)
-    shard_off = (jax.lax.axis_index(axis_name) * lw if axis_name is not None
-                 else jnp.int32(0))
+    if windows is not None:
+        assert axis_name is None, "window ladder is unsharded-only"
+        max_lw = max(windows)
+    else:
+        max_lw = cmax // n_shards
+    shard_off = (jax.lax.axis_index(axis_name) * (cmax // n_shards)
+                 if axis_name is not None else jnp.int32(0))
     from types import SimpleNamespace
 
     ang2d = vels.angular.ndim == 1
     ang_v = vels.angular[:, None] if ang2d else vels.angular
     n_bodies = vels.linear.shape[0]
-    # lw scratch rows absorb padding/static writes so every scatter-add
+    # scratch rows absorb padding/static writes so every scatter-add
     # below carries unique indices — XLA's fast TPU scatter path (the
     # duplicate-tolerant path serializes; it dominated the solve before)
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
     packed0 = jnp.concatenate(
-        [packed0, jnp.zeros((2 * lw, dim + adim), packed0.dtype)])
+        [packed0, jnp.zeros((2 * max_lw, dim + adim), packed0.dtype)])
     # same-color constraints share no *dynamic* body (coloring predicate:
     # any(im != 0)); only dynamic-body writes keep their real index
     dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
@@ -850,7 +867,8 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     use_cm_kernel = (GS_CM_KERNEL and packed_fields is not None and dim == 3
                      and axis_name is None and on_tpu())
 
-    def one_color(color, carry):
+    def one_color_lw(color, carry, lw):
+        slot = jnp.arange(lw, dtype=jnp.int32)
         packed, n_imp, t_imp = carry
         base = offsets[color]
         start = base + shard_off
@@ -939,8 +957,25 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                 t_imp, cur_t + win_t, base, 0)
         return packed, n_imp, t_imp
 
-    packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
-        color_lo, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
+    if windows is not None:
+        # static unrolled ladder: color c sweeps a windows[c-1]-sized slice;
+        # empty classes skip their body via lax.cond (verified cheap on this
+        # backend). The compiled program grows with max_colors, but every
+        # color now moves only ~its class size of gather/scatter rows.
+        carry = (packed0, n_imp_s, t_imp_s)
+        for ci, w in enumerate(windows, start=1):
+            if ci < color_lo:
+                continue
+            carry = jax.lax.cond(
+                counts[ci] > 0,
+                lambda carry, ci=ci, w=w: one_color_lw(ci, carry, w),
+                lambda carry: carry,
+                carry)
+        packed, n_imp_s, t_imp_s = carry
+    else:
+        one_color = functools.partial(one_color_lw, lw=cmax // n_shards)
+        packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
+            color_lo, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
     packed = packed[:n_bodies]
     ang_out = packed[:, dim:]
     if ang2d:
@@ -1032,7 +1067,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           colors_in=None, shard=None, stable_slots: bool = False,
           gs_tail_window: int = 0, gs_split: int = 8,
           cache_in=None, return_cache: bool = False,
-          presorted: bool = False):
+          presorted: bool = False, gs_windows: tuple = ()):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -1133,6 +1168,12 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         cmax = min(cons.body_a.shape[0], n + 64)
         if gs_cmax:
             cmax = min(cmax, gs_cmax)
+        if gs_windows:
+            # static per-color window ladder (see gs_color_major_pass):
+            # padding/caps size to the largest rung
+            assert shard is None and len(gs_windows) >= max_colors
+            gs_windows = tuple(gs_windows[:max_colors])
+            cmax = max(gs_windows)
         if shard is not None:  # color windows split evenly across devices
             cmax = -(-cmax // shard[1]) * shard[1]
         c_cap = cons.body_a.shape[0]
@@ -1222,13 +1263,15 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     # window — total window slots drop ~30% at 13 colors (the tail-window
     # overflow signal below lets the host regrow gs_tail_window)
     use_tail = (not use_jacobi and gs_tail_window
-                and gs_tail_window < cmax and shard is None)
+                and gs_tail_window < cmax and shard is None
+                and not gs_windows)
 
     def run_sweep(cons_ns, vels, ni, ti):
         if not use_tail:
             return gs_color_major_pass(
                 cons_ns, vels, ni, ti, layout, num_colors, cmax=cmax,
-                dim=dim_, shard=shard, packed_fields=packed_fields)
+                dim=dim_, shard=shard, packed_fields=packed_fields,
+                windows=gs_windows or None)
         head_hi = jnp.minimum(num_colors, gs_split)
         vels, ni, ti = gs_color_major_pass(
             cons_ns, vels, ni, ti, layout, head_hi, cmax=cmax, dim=dim_,
@@ -1338,6 +1381,11 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         tail = (jnp.max(class_counts[gs_split + 1:max_colors + 1])
                 if use_tail else jnp.int32(0))
         max_class = jnp.stack([head, jnp.int32(tail)])
+        if gs_windows:
+            # export per-class counts so the host can re-bucket the window
+            # ladder (same contract as every other capacity signal)
+            max_class = jnp.concatenate(
+                [max_class, class_counts.astype(jnp.int32)])
         colors_out = colors
     if return_cache:
         return (poses, vels, cons, max_class, colors_out,

@@ -96,7 +96,11 @@ class PipelineConfig:
     gs_cmax: int = 0  # >0: per-color GS window (host-grown on overflow)
     mesh_pair_capacity: int = 512
     mesh_k_best: int = 4
-    bp_algo: str = "auto"  # "grid" | "brute" | "auto" (grid when n >= 1024)
+    # "grid" | "brute" | "lbvh" | "auto" (grid when n >= 1024); "lbvh" is
+    # the reference's production algorithm (pipeline.rs:470) — on TPU the
+    # grid wins at every measured scale (see BENCH_NOTES), but the option
+    # is wired for parity and for pathological aspect-ratio scenes
+    bp_algo: str = "auto"
     bp_cell_cap: int = 8  # grid: max occupants read per cell (host-grown)
     bp_global_cap: int = 16  # grid: dense side list for oversized AABBs
     bp_cand_budget: int = 48  # grid: pre-compaction candidates per body
@@ -139,6 +143,11 @@ class PipelineConfig:
     # 0 = single-window sweep. Host-grown via the tail-overflow signal.
     gs_tail_window: int = 0
     gs_split: int = 8
+    # static per-color GS window ladder (solver.gs_color_major_pass): entry
+    # c-1 is color c's window. () = uniform gs_cmax windows (the split
+    # scheme above). Host-rebucketed per color from the exported class
+    # counts — supersedes the 2-level split when set.
+    gs_windows: tuple = ()
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -239,6 +248,26 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     sphere_margin = params.prediction_distance
 
     def _run_bp(mn, mx):
+        if config.bp_algo == "lbvh":
+            # Karras LBVH traversal (≙ the reference's production broad
+            # phase, pipeline.rs:470). The tree pass has no ball/dynamic
+            # knowledge, so the grid's sphere prefilter + static-static
+            # drop are applied to the emitted pairs instead — same final
+            # pair-set semantics, slightly higher capacity pressure.
+            from wgmath_tpu.broad_phase.lbvh import find_pairs_lbvh
+
+            p = find_pairs_lbvh(mn, mx, capacity=config.pair_capacity)
+            keep = p.valid
+            if dyn_mask is not None:
+                keep &= dyn_mask[p.body_a] | dyn_mask[p.body_b]
+            if radii_bp is not None:
+                centers = (mn + mx) * 0.5
+                d = jnp.linalg.norm(centers[p.body_a] - centers[p.body_b],
+                                    axis=-1)
+                lim = radii_bp[p.body_a] + radii_bp[p.body_b] + sphere_margin
+                keep &= ~(d > lim)  # NaN lim (non-ball) keeps the pair
+            return PairList(jnp.where(keep, p.body_a, 0),
+                            jnp.where(keep, p.body_b, 0), keep, p.count)
         if use_grid:
             from wgmath_tpu.broad_phase.grid import find_pairs_grid
 
@@ -524,11 +553,14 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         cache_in=state.solve_cache if warmstart else None,
         return_cache=True,
         presorted=presorted,
+        gs_windows=config.gs_windows,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([
         jnp.stack([pairs.count, contact_count, max_class[0],
-                   bp_path, max_class[1]]), np_needed])
+                   bp_path, max_class[1]]), np_needed,
+        # ladder mode: per-class counts ride along for window re-bucketing
+        max_class[2:].astype(jnp.int32)])
     return PhysicsState(new_bodies, state.shapes, cons, counts,
                         state.joints, colors,
                         pairs if config.bp_slack > 0 else None, bp_ref,
@@ -543,14 +575,20 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     amortizes dispatch overhead for serving/benchmark loops. Requires a
     warmed state (prev_constraints present) so the carry structure is fixed.
     """
+    # must mirror step()'s gating exactly (incl. gs_cmax > 0) or the
+    # burn-in below runs a spurious extra frame waiting for a cache that
+    # step never populates (multi_step(n) would then advance n+1 frames)
     color_with_bp = (config.bp_slack > 0 and not config.use_jacobi
-                     and not _has_mesh(state.shapes))
+                     and config.gs_cmax > 0 and not _has_mesh(state.shapes))
     needs_bp_cache = config.bp_slack > 0 and (
         state.bp_pairs is None
         or state.bp_pairs.body_a.shape[0] != config.pair_capacity
         or (color_with_bp and state.bp_colors is None))
+    expected_counts = 8 + ((config.max_colors + 2)
+                           if (config.gs_windows and not config.use_jacobi)
+                           else 0)
     if (state.prev_constraints is None or state.prev_colors is None
-            or needs_bp_cache or state.pair_count.shape[0] != 8
+            or needs_bp_cache or state.pair_count.shape[0] != expected_counts
             or (config.bp_slack <= 0 and state.bp_pairs is not None)):
         state = step(state, params, config,
                      warmstart=state.prev_constraints is not None)
@@ -621,6 +659,23 @@ def step_checked(state: PhysicsState, params: SimParams,
             cap = getattr(config, knob)
             if cap and int(counts[i]) > cap:
                 regrow[knob] = capacity_bucket(int(counts[i]), floor=256)
+    # GS window-ladder re-bucketing: class c's rung must hold its count
+    # (plus 25% headroom so steady-state jitter doesn't thrash recompiles);
+    # rungs only grow — class shrink just wastes masked rows until the next
+    # explicit re-settle
+    if config.gs_windows and len(counts) >= 8 + config.max_colors + 2:
+        cc = counts[8:8 + config.max_colors + 2]
+        rungs = list(config.gs_windows[:config.max_colors])
+        while len(rungs) < config.max_colors:
+            rungs.append(rungs[-1] if rungs else 256)
+        changed = False
+        for c in range(config.max_colors):
+            occ = int(cc[c + 1])
+            if occ > rungs[c]:
+                rungs[c] = capacity_bucket(occ * 5 // 4, floor=256)
+                changed = True
+        if changed:
+            regrow["gs_windows"] = tuple(rungs)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:
