@@ -32,26 +32,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # XLA CPU (jax 0.9) reliably SEGFAULTs/aborts when loading roughly the
 # ~118th compiled executable of a process — reproduced at whatever test hits
 # that count regardless of collection order, compile-vs-cache-read path, or
-# which test it is (each crasher passes standalone). Until the upstream bug
-# is fixed, a full-suite invocation transparently splits itself: the first
-# _SPLIT tests run in this process, the rest re-exec as a child pytest
-# (which recursively splits again if still too many).
-_SPLIT = 80
+# which test it is (each crasher passes standalone; a fresh same-host
+# compile cache does not help, so it is executable COUNT, not staleness).
+# Until the upstream bug is fixed, any invocation transparently splits
+# itself: tests run in this process up to a compile-weighted budget, the
+# rest re-exec as a child pytest (which recursively splits again). Weights
+# approximate compiled-executables-per-test so compile-heavy pipeline
+# suites split earlier (test_physics alone crashed at ~25 tests).
+_BUDGET = 80
+# executables-per-test estimates by file (default 1)
+_WEIGHT = {"test_physics": 4, "test_scenes": 4, "test_parallel": 4,
+           "test_oracle": 3, "test_mesh_accel": 3,
+           "test_standalone_shapes": 3, "test_joints": 2, "test_queries": 2}
+
+
+def _fname(it):
+    return it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
 
 
 def pytest_collection_modifyitems(config, items):
     # heavyweight pipeline suites first (best -x fail-fast signal)
     order = {"test_physics": 0, "test_scenes": 1, "test_parallel": 2,
              "test_queries": 3, "test_joints": 4, "test_lbvh": 5}
-
-    def key(it):
-        fname = it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
-        return order.get(fname, 10)
-
-    items.sort(key=key)
-    if len(items) > _SPLIT:
-        config._wgmath_rest = [it.nodeid for it in items[_SPLIT:]]
-        del items[_SPLIT:]
+    items.sort(key=lambda it: order.get(_fname(it), 10))
+    spent = 0
+    for i, it in enumerate(items):
+        spent += _WEIGHT.get(_fname(it), 1)
+        if spent > _BUDGET and i + 1 < len(items):
+            config._wgmath_rest = [x.nodeid for x in items[i + 1:]]
+            del items[i + 1:]
+            break
 
 
 def pytest_sessionfinish(session, exitstatus):

@@ -104,3 +104,74 @@ def test_sharded_solve_matches_on_contact_rich_pile():
     np.testing.assert_allclose(
         np.asarray(out_s.poses.translation)[:n],
         np.asarray(ref.bodies.poses.translation), rtol=1e-3, atol=1e-3)
+
+
+def test_full_pipeline_sharded_matches_single_device():
+    """Round-2 scale-out (VERDICT #3): the FULL pipeline — grid broad
+    phase, slack/velocity BP cache, pair-color cache, color-major
+    compaction, warmstart — sharded over the 8-device mesh, matching the
+    single-device step to float tolerance frame by frame."""
+    import dataclasses
+
+    from wgmath_tpu.parallel.sharded_pipeline import (
+        make_sharded_step,
+        replicate_state,
+    )
+    from wgmath_tpu.pipeline import PipelineConfig, step
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                         max_colors=12, gs_cmax=256, bp_slack=0.03,
+                         bp_algo="grid", manifold_points=1)
+    state = balls(192, dim=3)
+    for f in range(25):  # warm: free fall → impact → caches materialized
+        state = step(state, params, cfg, warmstart=f > 0)
+
+    mesh = body_mesh(8)
+    sstep = make_sharded_step(mesh, params, cfg, n_steps=1)
+    sh = replicate_state(state, mesh)
+    sd = state
+    for f in range(6):
+        sh = sstep(sh)
+        sd = step(sd, params, cfg, warmstart=True)
+        np.testing.assert_allclose(
+            np.asarray(sh.bodies.poses.translation),
+            np.asarray(sd.bodies.poses.translation), atol=1e-5,
+            err_msg=f"frame {f}")
+    # caches agree too: same pair list in the BP cache
+    np.testing.assert_array_equal(np.asarray(sh.bp_pairs.body_a),
+                                  np.asarray(sd.bp_pairs.body_a))
+    np.testing.assert_array_equal(np.asarray(sh.bp_pairs.valid),
+                                  np.asarray(sd.bp_pairs.valid))
+    assert np.isfinite(np.asarray(sh.bodies.poses.translation)).all()
+
+
+def test_full_pipeline_sharded_with_joints():
+    """Sharded path carries joint constraints (solved replicated)."""
+    from wgmath_tpu.parallel.sharded_pipeline import (
+        make_sharded_step,
+        replicate_state,
+    )
+    from wgmath_tpu.pipeline import PipelineConfig, step
+    from wgmath_tpu.scenes.builders import pendulum_chain
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=256, max_colors=8,
+                         manifold_points=1)
+    state = pendulum_chain(6, joint="spherical")
+    for f in range(5):
+        state = step(state, params, cfg, warmstart=f > 0)
+    mesh = body_mesh(8)
+    sstep = make_sharded_step(mesh, params, cfg, n_steps=1)
+    sh = replicate_state(state, mesh)
+    sd = state
+    for _ in range(5):
+        sh = sstep(sh)
+        sd = step(sd, params, cfg, warmstart=True)
+    np.testing.assert_allclose(np.asarray(sh.bodies.poses.translation),
+                               np.asarray(sd.bodies.poses.translation),
+                               atol=1e-5)
+    # chain holds together under the sharded solve
+    tr = np.asarray(sh.bodies.poses.translation)
+    assert np.isfinite(tr).all()

@@ -61,17 +61,24 @@ def _pack_key(cells: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("capacity", "max_per_body",
                                              "cell_cap", "global_cap",
-                                             "cand_budget"))
+                                             "cand_budget", "row_count"))
 def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
                     max_per_body: int = 16, cell_cap: int = 8,
                     global_cap: int = 64, cand_budget: int = 48,
                     active=None,
                     ball_radius=None, margin: float = 0.0,
-                    dynamic=None) -> PairList:
+                    dynamic=None, row_offset=None,
+                    row_count: int | None = None) -> PairList:
     """All overlapping AABB pairs (i < j) via the sorted uniform grid.
 
     ``dynamic``: optional [N] bool — static-static pairs are dropped (see
-    brute_force.find_pairs)."""
+    brute_force.find_pairs).
+
+    ``row_offset``/``row_count``: optional row block — only rows in
+    [offset, offset+count) emit pairs (each pair from its HIGHER body
+    index, so disjoint blocks partition the pair set exactly). The cell
+    table stays body-global; the multi-chip path gives each device one
+    block and all-gathers the per-block pair lists."""
     n, dim = mins.shape
     n_off = 27 if dim == 3 else 9
     if active is None:
@@ -102,8 +109,30 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     ids = jnp.arange(n, dtype=jnp.int32)
     skey, sid = jax.lax.sort_key_val(key, ids)
 
+    # --- optional row block (multi-chip: each device owns a row slice;
+    # the cell table above is body-global). row_count is static so shapes
+    # stay fixed; row_offset may be traced (lax.axis_index).
+    if row_count is None:
+        nr = n
+        r_ids = ids
+        rsl = lambda x: x
+        r_active = active
+    else:
+        nr = row_count
+        roff = jnp.asarray(row_offset, jnp.int32)
+        r_ids = roff + jnp.arange(nr, dtype=jnp.int32)
+        r_clamp = jnp.minimum(r_ids, n - 1)
+        # index-gather (not dynamic_slice): blocks may run past n when
+        # ceil(n / n_devices) tiles don't divide evenly — the overhang rows
+        # are masked inactive, so any block partition stays exact
+        rsl = lambda x: x[r_clamp]
+        r_active = active[r_clamp] & (r_ids < n)
+    r_cells = rsl(cells)
+    r_mins, r_maxs, r_center = rsl(mins), rsl(maxs), rsl(center)
+    r_is_global = rsl(is_global)
+
     offs = _neighbor_offsets(dim)  # [O, dim]
-    nkeys = _pack_key(cells[:, None, :] + offs[None, :, :])  # [N, O]
+    nkeys = _pack_key(r_cells[:, None, :] + offs[None, :, :])  # [NR, O]
     # mask neighbor offsets whose wrapped key repeats an earlier offset
     dup = (nkeys[:, :, None] == nkeys[:, None, :])
     earlier = jnp.tril(jnp.ones((n_off, n_off), bool), k=-1)
@@ -113,7 +142,7 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     # ~50 ms at this size on TPU; the merge-sort variant is ~10x cheaper),
     # then per-position run lengths replace the second (side="right") search
     lo = jnp.searchsorted(skey, nkeys.reshape(-1),
-                          method="sort").reshape(n, n_off)
+                          method="sort").reshape(nr, n_off)
     spos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
     start_of_run = jax.lax.cummax(jnp.where(is_start, spos, 0))
@@ -137,35 +166,35 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     c_budget = min(cand_budget, wide)
     sdt = jnp.int16 if wide < 32000 else jnp.int32
     slot_ids = jnp.arange(wide, dtype=sdt)
-    occ_score = jnp.where(in_cell.reshape(n, wide), wide - slot_ids,
+    occ_score = jnp.where(in_cell.reshape(nr, wide), wide - slot_ids,
                           jnp.asarray(0, sdt))
     otop, osel = jax.lax.top_k(occ_score, c_budget)  # [N, B]
     cand_valid = otop > 0
     cand_overflow = jnp.any(
-        jnp.sum(in_cell.reshape(n, wide), axis=-1) > c_budget)
-    pos_sel = jnp.take_along_axis(pos.reshape(n, wide), osel, axis=1)
+        jnp.sum(in_cell.reshape(nr, wide), axis=-1) > c_budget)
+    pos_sel = jnp.take_along_axis(pos.reshape(nr, wide), osel, axis=1)
     cand_sel = sid[pos_sel]  # [N, B] — the only irregular id gather
 
     # append the dense global columns (globals never appear in the grid)
-    gcols = jnp.broadcast_to(g_ids[None, :], (n, gcap))
-    gmask = jnp.broadcast_to(g_valid[None, :], (n, gcap))
+    gcols = jnp.broadcast_to(g_ids[None, :], (nr, gcap))
+    gmask = jnp.broadcast_to(g_valid[None, :], (nr, gcap))
     cand_f = jnp.concatenate([cand_sel, gcols], axis=1)
     mask_f = jnp.concatenate([cand_valid, gmask], axis=1)
     w = cand_f.shape[1]
     n_grid_cols = c_budget
 
-    rows = ids[:, None]
+    rows = r_ids[:, None]
     # grid-grid pairs emit from the higher body index; pairs with a global
     # emit from the non-global side (globals never enter the grid, so a
     # column is global iff it's one of the appended dense columns),
     # global-global pairs from the higher index
-    is_glob_row = is_global[:, None]
+    is_glob_row = r_is_global[:, None]
     grid_cols = jnp.arange(w) < n_grid_cols
     is_glob_col = ~grid_cols[None, :]
     order_ok = jnp.where(is_glob_col & ~is_glob_row, True, rows > cand_f)
     # inactive bodies never enter the grid or the global list, so no
     # per-column active gather is needed
-    mask_f &= order_ok & (cand_f != rows) & active[:, None]
+    mask_f &= order_ok & (cand_f != rows) & r_active[:, None]
     # rows: grid bodies scan grid+globals; global rows scan globals only
     mask_f &= jnp.where(is_glob_row & grid_cols[None, :], False, True)
 
@@ -182,16 +211,16 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     cdata = packed[cand_f]
     if dynamic is not None:
         dyn_col = cdata[..., -1] > 0.5
-        mask_f &= jnp.asarray(dynamic)[:, None] | dyn_col
+        mask_f &= rsl(jnp.asarray(dynamic))[:, None] | dyn_col
     cmins = cdata[..., :dim]
     cmaxs = cdata[..., dim:2 * dim]
-    overlap = jnp.all((mins[:, None, :] <= cmaxs)
-                      & (cmins <= maxs[:, None, :]), axis=-1)
+    overlap = jnp.all((r_mins[:, None, :] <= cmaxs)
+                      & (cmins <= r_maxs[:, None, :]), axis=-1)
     if ball_radius is not None:
         ccen = cdata[..., 2 * dim:3 * dim]
         crad = cdata[..., 3 * dim]
-        d2 = jnp.sum((center[:, None, :] - ccen) ** 2, axis=-1)
-        lim = rr[:, None] + crad + margin
+        d2 = jnp.sum((r_center[:, None, :] - ccen) ** 2, axis=-1)
+        lim = rsl(rr)[:, None] + crad + margin
         sphere_hit = d2 <= lim * lim
         overlap = jnp.where(jnp.isfinite(lim), overlap & sphere_hit, overlap)
     mask_f &= overlap
@@ -209,7 +238,7 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
         top, _ = jax.lax.top_k(score, kk)
         hit = top > 0
         b_ids = n - top
-    a_ids = jnp.broadcast_to(ids[:, None], (n, kk))
+    a_ids = jnp.broadcast_to(r_ids[:, None], (nr, kk))
 
     flat_hit = hit.reshape(-1)
     local = jnp.cumsum(flat_hit.astype(jnp.int32)) - 1

@@ -191,14 +191,26 @@ def new_state(bodies: Bodies, shapes: ShapeSet, joints=None) -> PhysicsState:
     return PhysicsState(bodies, shapes, None, jnp.zeros(8, jnp.int32), joints)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "config", "warmstart"))
+@functools.partial(jax.jit, static_argnames=("params", "config", "warmstart",
+                                             "shard"))
 def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
-         *, warmstart: bool = True) -> PhysicsState:
+         *, warmstart: bool = True, shard: tuple | None = None
+         ) -> PhysicsState:
     """Advance one frame of length ``params.dt`` (≙ GpuPhysicsPipeline::step).
 
     Phases mirror pipeline.rs:423-691: mprops update ("step_simulation"
     pass), broad phase, narrow phase, solver prepare + solve, integration —
     fused into a single XLA program.
+
+    ``shard``: optional ``(axis_name, n_devices)`` — run inside shard_map
+    with fully-REPLICATED state and the heavy phases split across the mesh:
+    broad-phase rows (each device owns a body-row block of the grid/brute
+    pass), narrow-phase pair blocks, and the solver's per-color GS windows
+    (per-color psum of velocity deltas — exact Gauss-Seidel). Everything
+    else (caches, coloring, compaction, integration) is replicated and
+    deterministic, so every device carries bitwise-identical state and the
+    result matches the single-device step exactly (see
+    parallel/sharded_pipeline.py for the entry point and the design notes).
     """
     bodies = state.bodies
     mprops = update_mprops(bodies.poses, bodies.local_mprops)
@@ -248,6 +260,54 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     sphere_margin = params.prediction_distance
 
     def _run_bp(mn, mx):
+        if shard is not None:
+            axis, n_dev = shard
+            assert config.pair_capacity % n_dev == 0, \
+                "pair_capacity must divide the device count"
+            cap_l = config.pair_capacity // n_dev
+            nb_l = -(-n_bodies // n_dev)
+            k = jax.lax.axis_index(axis)
+            if use_grid:
+                from wgmath_tpu.broad_phase.grid import find_pairs_grid
+
+                p = find_pairs_grid(
+                    mn, mx, capacity=cap_l,
+                    max_per_body=config.broad_phase_max_per_row,
+                    cell_cap=config.bp_cell_cap,
+                    global_cap=config.bp_global_cap,
+                    cand_budget=config.bp_cand_budget,
+                    ball_radius=radii_bp, margin=sphere_margin,
+                    dynamic=dyn_mask,
+                    row_offset=k * nb_l, row_count=nb_l)
+            else:
+                from wgmath_tpu.broad_phase.brute_force import (
+                    find_pairs_partial,
+                )
+
+                rsl = lambda x: jax.lax.dynamic_slice_in_dim(
+                    jnp.concatenate(
+                        [x, jnp.zeros((nb_l * n_dev - n_bodies,)
+                                      + x.shape[1:], x.dtype)]),
+                    k * nb_l, nb_l, 0)
+                p = find_pairs_partial(
+                    rsl(mn), rsl(mx), k * nb_l, mn, mx, capacity=cap_l,
+                    row_active=rsl(jnp.ones((n_bodies,), bool)),
+                    block=config.broad_phase_block,
+                    max_per_row=config.broad_phase_max_per_row,
+                    ball_radius=radii_bp,
+                    row_ball_radius=None if radii_bp is None
+                    else rsl(radii_bp),
+                    margin=sphere_margin, dynamic=dyn_mask,
+                    row_dynamic=None if dyn_mask is None
+                    else rsl(dyn_mask.astype(jnp.float32)) > 0.5)
+            g = functools.partial(jax.lax.all_gather, axis_name=axis,
+                                  tiled=True)
+            # overflow rides a sign bit: any device negative → total
+            # negative (the host regrows budgets exactly as single-chip)
+            neg = jax.lax.psum((p.count < 0).astype(jnp.int32), axis) > 0
+            tot = jax.lax.psum(jnp.abs(p.count), axis)
+            return PairList(g(p.body_a), g(p.body_b), g(p.valid),
+                            jnp.where(neg, -jnp.maximum(tot, 1), tot))
         if config.bp_algo == "lbvh":
             # Karras LBVH traversal (≙ the reference's production broad
             # phase, pipeline.rs:470). The tree pass has no ball/dynamic
@@ -461,12 +521,38 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         pairs, bp_ref, bp_colors = _colored_bp(mins, maxs)
         bp_ref = None
     p_max = config.manifold_points
-    contacts, np_needed = narrow_phase(
-        bodies.poses, state.shapes, pairs, params.prediction_distance,
-        sat_capacity=config.sat_pair_capacity,
-        pfm_capacity=config.pfm_pair_capacity,
-        p_max=p_max, bc_capacity=config.bc_pair_capacity,
-        with_overflow=True)
+    if shard is None:
+        contacts, np_needed = narrow_phase(
+            bodies.poses, state.shapes, pairs, params.prediction_distance,
+            sat_capacity=config.sat_pair_capacity,
+            pfm_capacity=config.pfm_pair_capacity,
+            p_max=p_max, bc_capacity=config.bc_pair_capacity,
+            with_overflow=True)
+    else:
+        # pair-block sharding: device k processes pairs [k·C/D, (k+1)·C/D).
+        # Type compactions scatter back to the pair slots they came from,
+        # so the gathered contact buffer is slot-identical to single-chip;
+        # per-device compaction caps are the global knobs / D, and their
+        # overflow signal is pmax·D (a device exceeding its share must
+        # regrow the global knob, same host contract).
+        axis, n_dev = shard
+        cap_l = config.pair_capacity // n_dev
+        k = jax.lax.axis_index(axis)
+        psl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * cap_l, cap_l, 0)
+        pairs_l = PairList(psl(pairs.body_a), psl(pairs.body_b),
+                           psl(pairs.valid), pairs.count)
+        div = lambda cap: -(-cap // n_dev) if cap else 0
+        contacts_l, np_needed_l = narrow_phase(
+            bodies.poses, state.shapes, pairs_l, params.prediction_distance,
+            sat_capacity=div(config.sat_pair_capacity),
+            pfm_capacity=div(config.pfm_pair_capacity),
+            p_max=p_max, bc_capacity=div(config.bc_pair_capacity),
+            with_overflow=True)
+        g = functools.partial(jax.lax.all_gather, axis_name=axis,
+                              tiled=True)
+        contacts = jax.tree.map(
+            lambda x: g(x) if x.ndim >= 1 else x, contacts_l)
+        np_needed = jax.lax.pmax(np_needed_l, axis) * n_dev
     if _has_mesh(state.shapes):
         from wgmath_tpu.queries.mesh_contact import (
             concat_contacts,
@@ -553,7 +639,10 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         cache_in=state.solve_cache if warmstart else None,
         return_cache=True,
         presorted=presorted,
-        gs_windows=config.gs_windows,
+        # window ladder is unsharded-only; sharded sweeps split the uniform
+        # windows across the mesh instead
+        gs_windows=() if shard is not None else config.gs_windows,
+        shard=shard,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([
@@ -672,7 +761,11 @@ def step_checked(state: PhysicsState, params: SimParams,
         for c in range(config.max_colors):
             occ = int(cc[c + 1])
             if occ > rungs[c]:
-                rungs[c] = capacity_bucket(occ * 5 // 4, floor=256)
+                # 256-granular with 15% headroom: the whole point of the
+                # ladder is window rows ≈ class rows, so the coarse 1.5x
+                # capacity buckets (which overshot to MORE total rows than
+                # the uniform split scheme) are wrong here
+                rungs[c] = max(256, -(-occ * 23 // 20 // 256) * 256)
                 changed = True
         if changed:
             regrow["gs_windows"] = tuple(rungs)
