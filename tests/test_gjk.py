@@ -277,11 +277,58 @@ def test_epa3_thin_cso_deep_capsules():
         h = np.asarray(jnp.sum(sup.w * jnp.asarray(dirs), -1))
         want = h.min()
         if want < 5e-2:
-            # crossed segments make a FLAT (planar) CSO; the true depth is
-            # the tiny out-of-plane offset and the 3D polytope degenerates
-            # (zero volume — the reference's EPA shares this). Cores only
-            # reach this state under deep overlap the solver prevents;
-            # skip the mm-scale flat cases, test the substantive ones.
+            # flat/near-flat CSO (crossed segment cores): the slab rescue
+            # keeps the answer a certified upper bound on the true depth.
+            # Some of these random-t cases put the origin OUTSIDE the flat
+            # CSO (negative oracle min) — out of EPA's contract (GJK routes
+            # only intersecting pairs); depth clamps at 0 there. No
+            # direction check here; the in-contract flat case is
+            # test_epa3_flat_cso_crossed_segments.
+            assert depth[i] <= max(want, 0.0) + 5e-3, (i, depth[i], want)
             continue
         assert abs(depth[i] - want) < 5e-3 + 0.1 * want, (i, depth[i], want)
         assert np.dot(n[i], dirs[h.argmin()]) > 0.9, (i, n[i])
+
+
+def test_epa3_flat_cso_crossed_segments():
+    """Zero-dilation crossed segment cores (round-1 VERDICT item 6): the
+    CSO is a flat parallelogram through the origin, the octahedron seed is
+    coplanar, and pre-fix EPA returned an in-plane garbage direction. The
+    slab rescue must answer with the out-of-plane normal and ~zero depth,
+    at zero dilation radius (nothing shields the degeneracy)."""
+    import numpy as np
+
+    from wgmath_tpu.queries.epa import epa_penetration
+    from wgmath_tpu.shapes import shape as shp
+
+    def rot_z(th):
+        c, s = np.cos(th), np.sin(th)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    def rot_axis(ax, th):
+        ax = np.asarray(ax, np.float64); ax /= np.linalg.norm(ax)
+        K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                      [-ax[1], ax[0], 0]])
+        return (np.eye(3) + np.sin(th) * K
+                + (1 - np.cos(th)) * K @ K).astype(np.float32)
+
+    # case 0/1: X-crossing in the z=0 plane (B's axis at 90 and 60 deg);
+    # case 2: the same crossing tilted off-axis (plane normal not an axis)
+    r_list = [rot_z(np.pi / 2), rot_z(np.pi / 3),
+              rot_axis([1.0, 0.5, 0.3], 0.9) @ rot_z(np.pi / 2)]
+    # expected plane normal = a_axis x b_axis_world (B rotated, A fixed)
+    m = len(r_list)
+    tag = jnp.full((m,), shp.CAPSULE, jnp.int32)
+    par = jnp.zeros((m, 4), jnp.float32).at[:, 0].set(1.0)  # hl=1, radius=0
+    r_ab = jnp.asarray(np.stack(r_list))
+    t_ab = jnp.zeros((m, 3), jnp.float32)
+
+    n, depth, _ = epa_penetration(tag, par, tag, par, r_ab, t_ab)
+    n = np.asarray(n); depth = np.asarray(depth)
+    a_axis = np.array([0.0, 1.0, 0])  # capsule cores run along local Y
+    for i in range(m):
+        b_axis = np.asarray(r_list[i]) @ a_axis
+        expect = np.cross(a_axis, b_axis)
+        expect /= np.linalg.norm(expect)
+        assert depth[i] < 1e-4, (i, depth[i])
+        assert abs(np.dot(n[i], expect)) > 0.99, (i, n[i], expect)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wgmath_tpu.queries.gjk import cso_support
 
@@ -145,6 +146,44 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
             fvalid_new, tgt)
         return verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done
 
+    # --- flat-CSO slab candidate (crossed segment cores make the CSO a
+    # planar set; the coplanar seed then stalls the loop in-plane with a
+    # garbage normal — epa3.wgsl degenerates the same way). Fit the seed's
+    # plane normal, take the two out-of-plane supports: h(±n̂) is a
+    # CERTIFIED upper bound on penetration depth (moving B by h·n̂
+    # separates), so the end of the function keeps whichever of {EPA
+    # answer, slab answer} is smaller — converged EPA always wins, the
+    # slab rescues degenerate polytopes.
+    seed_e = verts[:, 1:6] - verts[:, :1]  # [M, 5, 3]
+    pi, pj = np.triu_indices(5, 1)
+    crs = jnp.cross(seed_e[:, pi], seed_e[:, pj])  # [M, 10, 3]
+    crn = jnp.linalg.norm(crs, axis=-1)
+    n_pl = jnp.take_along_axis(
+        crs, jnp.argmax(crn, -1)[:, None, None].repeat(3, -1), 1)[:, 0]
+    e_len = jnp.linalg.norm(seed_e, axis=-1)
+    scale = jnp.max(e_len, axis=-1)
+    # line-degenerate CSO (parallel segment cores): any perpendicular of
+    # the longest edge serves as the plane normal
+    e_long = jnp.take_along_axis(
+        seed_e, jnp.argmax(e_len, -1)[:, None, None].repeat(3, -1), 1)[:, 0]
+    alt = jnp.where((jnp.abs(e_long[:, :1])
+                     < 0.9 * jnp.maximum(scale, 1e-30)[:, None]),
+                    jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                    jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    perp = jnp.cross(e_long, alt)
+    line_degen = jnp.max(crn, -1) <= 1e-6 * scale * scale
+    n_pl = jnp.where(line_degen[:, None], perp, n_pl)
+    n_pl = n_pl / jnp.maximum(
+        jnp.linalg.norm(n_pl, axis=-1, keepdims=True), 1e-30)
+    s_p = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, n_pl, vertices)
+    s_n = cso_support(tag_a, par_a, tag_b, par_b, r_ab, t_ab, -n_pl, vertices)
+    h_p = jnp.sum(s_p.w * n_pl, -1)
+    h_n = -jnp.sum(s_n.w * n_pl, -1)
+    slab_pos = h_p <= h_n
+    slab_depth = jnp.maximum(jnp.where(slab_pos, h_p, h_n), 0.0)
+    slab_n = jnp.where(slab_pos[:, None], n_pl, -n_pl)
+    slab_pt = jnp.where(slab_pos[:, None], s_p.p_a, s_n.p_a)
+
     done0 = jnp.zeros((m,), bool)
     state = (verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done0)
     verts, wit_a, wit_b, nverts, faces, fvalid, nfaces, done = jax.lax.fori_loop(
@@ -176,6 +215,20 @@ def epa_penetration(tag_a, par_a, tag_b, par_b, r_ab, t_ab,
     u = 1.0 - v - w
     bary = jnp.stack([u, v, w], -1)
     point_a = jnp.einsum("mk,mkd->md", bary, wa)
+    # slab rescue: the certified upper bound beats a degenerate/failed
+    # polytope answer (flat CSOs); a converged EPA depth is the true
+    # minimum over all directions, so it is never above the slab bound
+    failed = jnp.take_along_axis(dists, best[:, None], -1)[:, 0] >= _BIG * 0.5
+    # <= with tolerance: on a tie both directions attain the same support
+    # bound, but a degenerate (flat) polytope's tiny-area face normal is
+    # noise while the slab normal is the fitted plane normal — prefer it.
+    # A clearly-negative final depth is a degenerate claim too (the origin
+    # is inside the CSO by contract), so it loses to the slab as well.
+    use_slab = (failed | (depth < -1e-6 * scale)
+                | (slab_depth <= depth * 1.0001 + 1e-6 * scale))
+    n = jnp.where(use_slab[:, None], slab_n, n)
+    depth = jnp.where(use_slab, slab_depth, depth)
+    point_a = jnp.where(use_slab[:, None], slab_pt, point_a)
     # n is the min-translation direction for the CSO (A−B): moving A by −n·depth
     # separates; the A→B contact normal is therefore −n? The MTV on the CSO
     # points from the origin toward the boundary: B must move along +n.
