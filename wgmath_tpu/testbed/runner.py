@@ -43,9 +43,12 @@ class BackendConfig:
 
 def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
               dump_every: int = 0, verify: bool = False,
-              bp_slack: float = 0.0) -> RunStats:
+              bp_slack: float = 0.0, record: str | None = None,
+              record_every: int = 1) -> RunStats:
     """Step a demo scene, printing per-phase stats (≙ Testbed::run loop +
-    RunStats overlay)."""
+    RunStats overlay). ``record`` writes a pose-trajectory npz for
+    ``testbed.viewer`` (≙ the reference's graphics backend, rendered
+    offline instead of live)."""
     import jax
 
     from wgmath_tpu.pipeline import auto_manifold_points
@@ -57,6 +60,12 @@ def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
         manifold_points=auto_manifold_points(state.shapes, dim))
     stats = RunStats()
     timer = PhaseTimer(stats)
+    recorder = None
+    if record:
+        from wgmath_tpu.testbed.viewer import Recorder
+
+        recorder = Recorder(state)
+        recorder.record(state)
 
     t_compile = time.perf_counter()
     state, config = step_checked(state, params, config, stats)
@@ -69,11 +78,16 @@ def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
             h.append(state.bodies.poses.translation)
         if verify:
             debug_validate(state)
+        if recorder is not None and frame % max(record_every, 1) == 0:
+            recorder.record(state)
         if dump_every and frame % dump_every == 0:
             pos = np.asarray(state.bodies.poses.translation)
             print(f"frame {frame}: y[min/mean/max] = "
                   f"{pos[:, 1].min():.3f}/{pos[:, 1].mean():.3f}/{pos[:, 1].max():.3f}",
                   flush=True)
+    if recorder is not None:
+        recorder.save(record)
+        print(f"recorded {len(recorder.frames)} frames -> {record}")
     per_step = stats.phase_ms.get("step", 0.0) / max(frames - 1, 1)
     stats.counters["steps_per_second"] = int(1000.0 / max(per_step, 1e-9))
     return stats
@@ -106,6 +120,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-every", type=int, default=0)
     ap.add_argument("--verify", action="store_true",
                     help="per-frame NaN/constraint validation")
+    ap.add_argument("--record", default=None, metavar="PATH.npz",
+                    help="record the pose trajectory for testbed.viewer "
+                         "(render: python -m wgmath_tpu.testbed.viewer "
+                         "PATH.npz --out-dir frames --gif out.gif)")
+    ap.add_argument("--record-every", type=int, default=1)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--bp-slack", type=float, default=0.0,
                     help="broad-phase temporal-coherence slack (0 = off; "
@@ -141,7 +160,8 @@ def main(argv=None) -> int:
     for name in names:
         stats = run_scene(name, frames=args.frames, solver=args.solver,
                           dump_every=args.dump_every, verify=args.verify,
-                          bp_slack=args.bp_slack)
+                          bp_slack=args.bp_slack, record=args.record,
+                          record_every=args.record_every)
         if args.json:
             print(json.dumps({"scene": name, "phase_ms": stats.phase_ms,
                               "counters": stats.counters}))
