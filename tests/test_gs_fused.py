@@ -1,0 +1,192 @@
+"""Fused-sweep kernel (dynamics/gs_fused.py) vs the ladder reference pass
+(solver.gs_color_major_pass) on identical rung-padded color-major inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgmath_tpu.dynamics import SimParams
+from wgmath_tpu.dynamics.body import (
+    Bodies,
+    Velocity,
+    ball_local_mprops,
+    update_mprops,
+)
+from wgmath_tpu.dynamics.constraint import Contacts, build_constraints
+from wgmath_tpu.dynamics.gs_fused import (
+    build_fused_tables,
+    fused_layout,
+    fused_sweep,
+    gather_width,
+)
+from wgmath_tpu.dynamics.solver import (
+    color_constraints,
+    gs_color_major_pass,
+    sort_solver_fields_packed,
+)
+from wgmath_tpu.geometry import sim as sim_ops
+
+
+def _random_setup(seed=0, n=48, c=96, n_static=2, max_colors=16):
+    # max_colors is generous: color_constraints dumps leftovers into the
+    # LAST color without disjointness (residue contract) — both sweep
+    # implementations require proper colors, asserted below
+    """Random contact set -> constraints, colors, rung-padded layout."""
+    rng = np.random.default_rng(seed)
+    # random distinct pairs (a < b); body 0..n_static-1 are static
+    pairs = set()
+    while len(pairs) < c:
+        a, b = rng.integers(0, n, 2)
+        if a == b:
+            continue
+        pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)[:c]
+    body_a = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    body_b = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    normals = rng.normal(size=(c, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    contacts = Contacts(
+        body_a, body_b,
+        jnp.asarray(normals),
+        jnp.asarray(rng.uniform(-0.3, 0.3, (c, 1, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(-0.05, 0.0, (c, 1)), jnp.float32),
+        jnp.ones((c,), jnp.int32),
+        jnp.ones((c,), bool),
+    )
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    poses = sim_ops.from_parts(
+        jnp.asarray(q), jnp.asarray(rng.uniform(-3, 3, (n, 3)), jnp.float32))
+    radii = jnp.asarray(rng.uniform(0.3, 0.7, (n,)), jnp.float32)
+    mp = ball_local_mprops(radii)
+    # lock the static bodies (zero inv mass)
+    import dataclasses
+
+    inv_mass = mp.inv_mass.at[:n_static].set(0.0)
+    inertia = mp.inv_inertia_sqrt.at[:n_static].set(0.0) \
+        if hasattr(mp, "inv_inertia_sqrt") else None
+    fields = {f.name: getattr(mp, f.name) for f in dataclasses.fields(mp)}
+    fields["inv_mass"] = inv_mass
+    for k in list(fields):
+        if "inertia" in k:
+            fields[k] = fields[k].at[:n_static].set(0.0)
+    mp = type(mp)(**fields)
+    vels = Velocity(
+        jnp.asarray(rng.normal(size=(n, 3)) * 0.5, jnp.float32),
+        jnp.asarray(rng.normal(size=(n, 3)) * 0.5, jnp.float32))
+    bodies = Bodies(poses, vels, mp)
+    mprops = update_mprops(poses, mp)
+    params = SimParams().substep().with_dim(3)
+    cons = build_constraints(poses, vels, mprops, contacts, params)
+    colors = color_constraints(cons, n, max_colors=max_colors)
+    colors_np = np.asarray(colors)
+    n_colors = int(colors_np.max())
+    dyn_np = np.asarray(jnp.any(mprops.inv_mass != 0.0, axis=-1))
+    for k in range(1, n_colors + 1):
+        ids = []
+        for i in np.nonzero(colors_np == k)[0]:
+            for bid in (int(contacts.body_a[i]), int(contacts.body_b[i])):
+                if dyn_np[bid]:
+                    ids.append(bid)
+        assert len(ids) == len(set(ids)), f"improper coloring in class {k}"
+
+    # static rung ladder: each color's class rounded up to 128
+    counts_np = np.bincount(colors_np, minlength=max_colors + 2)
+    windows = tuple(
+        int(-(-max(int(counts_np[k]), 1) // 128) * 128)
+        for k in range(1, max_colors + 1))
+    rungs, offsets, ctot = fused_layout(windows, 0)
+    order = np.full((ctot,), c, np.int32)  # >= c = padding slot
+    for k in range(1, max_colors + 1):
+        rows = np.nonzero(colors_np == k)[0]
+        order[offsets[k]:offsets[k] + len(rows)] = rows
+    order_padded = jnp.asarray(order)
+    ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
+    counts = jnp.asarray(np.concatenate(
+        [counts_np[:max_colors + 1], [0]]).astype(np.int32))
+    layout = (order_padded, jnp.asarray(offsets[:-1]), counts)
+    return (bodies, mprops, cons, ss, packed_fields, layout, windows,
+            n_colors, ctot, n)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_sweep_matches_ladder_pass(seed):
+    (bodies, mprops, cons, ss, packed_fields, layout, windows, n_colors,
+     ctot, n) = _random_setup(seed=seed)
+    p_max, s_len = 1, 2
+    vels = bodies.vels
+    prev_n = jnp.asarray(
+        np.random.default_rng(seed + 7).uniform(0, 0.1, (ctot, p_max)),
+        jnp.float32)
+    prev_t = jnp.zeros((ctot, p_max, s_len), jnp.float32)
+
+    # ---- reference: the per-color ladder pass on the same static layout
+    ref_v, ref_n, ref_t = gs_color_major_pass(
+        ss, vels, prev_n, prev_t, layout, jnp.int32(n_colors),
+        cmax=max(windows), dim=3, packed_fields=packed_fields,
+        windows=windows)
+
+    # ---- fused sweep
+    w_g = gather_width(n, windows)
+    dyn_a = jnp.any(ss.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(ss.im_b != 0.0, axis=-1)
+    idx, inv = build_fused_tables(ss.body_a, ss.body_b, dyn_a, dyn_b,
+                                  ss.valid, windows=windows, rung0=0,
+                                  w_g=w_g)
+    vt = jnp.zeros((8, w_g), jnp.float32)
+    vt = vt.at[0:3, :n].set(vels.linear.T)
+    vt = vt.at[3:6, :n].set(vels.angular.T)
+    winT, meta = packed_fields
+    out_v, out_n, out_t = fused_sweep(
+        vt, prev_n.reshape(ctot, p_max).T,
+        prev_t.reshape(ctot, p_max * s_len).T,
+        winT.T, ss.valid.astype(jnp.float32)[None, :],
+        ss.num_points.astype(jnp.float32)[None, :],
+        ss.cfm_factor[0], ss.n_rhs.reshape(ctot, p_max).T,
+        ss.t_rhs.reshape(ctot, p_max * s_len).T,
+        idx, inv, layout[2], windows=windows, rung0=0, p_max=p_max,
+        s_len=s_len, meta=meta, use_pallas=False)
+
+    np.testing.assert_allclose(np.asarray(out_v[0:3, :n].T),
+                               np.asarray(ref_v.linear), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_v[3:6, :n].T),
+                               np.asarray(ref_v.angular), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_n.T),
+                               np.asarray(ref_n.reshape(ctot, p_max)),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(out_t.T),
+        np.asarray(ref_t.reshape(ctot, p_max * s_len)),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_fused_sweep_pallas_interpret_matches_xla():
+    (bodies, mprops, cons, ss, packed_fields, layout, windows, n_colors,
+     ctot, n) = _random_setup(seed=2)
+    p_max, s_len = 1, 2
+    w_g = gather_width(n, windows)
+    dyn_a = jnp.any(ss.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(ss.im_b != 0.0, axis=-1)
+    idx, inv = build_fused_tables(ss.body_a, ss.body_b, dyn_a, dyn_b,
+                                  ss.valid, windows=windows, rung0=0,
+                                  w_g=w_g)
+    vt = jnp.zeros((8, w_g), jnp.float32)
+    vt = vt.at[0:3, :n].set(bodies.vels.linear.T)
+    vt = vt.at[3:6, :n].set(bodies.vels.angular.T)
+    winT, meta = packed_fields
+    prev_n = jnp.zeros((p_max, ctot), jnp.float32)
+    prev_t = jnp.zeros((p_max * s_len, ctot), jnp.float32)
+    args = (vt, prev_n, prev_t, winT.T,
+            ss.valid.astype(jnp.float32)[None, :],
+            ss.num_points.astype(jnp.float32)[None, :], ss.cfm_factor[0],
+            ss.n_rhs.reshape(ctot, p_max).T,
+            ss.t_rhs.reshape(ctot, p_max * s_len).T, idx, inv, layout[2])
+    kw = dict(windows=windows, rung0=0, p_max=p_max, s_len=s_len, meta=meta)
+    a_v, a_n, a_t = fused_sweep(*args, use_pallas=False, **kw)
+    b_v, b_n, b_t = fused_sweep(*args, use_pallas=True, **kw)  # interpret
+    np.testing.assert_allclose(np.asarray(a_v), np.asarray(b_v), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_n), np.asarray(b_n), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_t), np.asarray(b_t), rtol=1e-6)
