@@ -190,3 +190,42 @@ def test_fused_sweep_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(a_v), np.asarray(b_v), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a_n), np.asarray(b_n), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a_t), np.asarray(b_t), rtol=1e-6)
+
+
+def test_pipeline_gs_fused_matches_ladder():
+    """Wiring test: the fused-sweep pipeline path (static rung-padded
+    compaction + one-kernel sweeps) advances a settled pile the same way
+    as the window-ladder path from an identical warmed state."""
+    import dataclasses
+
+    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    base = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                          max_colors=12, gs_cmax=256, bp_slack=0.03,
+                          bp_algo="grid", manifold_points=1,
+                          gs_windows=(256,) * 12)
+    state = balls(160, dim=3)
+    cfg = base
+    for _ in range(30):  # settle; ladder rungs re-bucket as needed
+        state, cfg = step_checked(state, params, cfg)
+    cfg_f = dataclasses.replace(cfg, gs_fused=True, gs_rung0=256)
+
+    s_lad = step(state, params, cfg, warmstart=True)
+    s_fus = step(state, params, cfg_f, warmstart=True)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.bodies.vels.linear),
+        np.asarray(s_lad.bodies.vels.linear), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.bodies.poses.translation),
+        np.asarray(s_lad.bodies.poses.translation), rtol=1e-5, atol=1e-6)
+    # same live contacts survived the static-rung compaction
+    assert (int(np.asarray(s_fus.pair_count)[1])
+            == int(np.asarray(s_lad.pair_count)[1]))
+
+    # multi-frame: the fused path keeps its own caches coherent
+    sf, cf = s_fus, cfg_f
+    for _ in range(10):
+        sf, cf = step_checked(sf, params, cf)
+    assert np.isfinite(np.asarray(sf.bodies.poses.translation)).all()

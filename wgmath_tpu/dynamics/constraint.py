@@ -447,7 +447,8 @@ def remove_cfm_and_bias(cons: ContactConstraints) -> ContactConstraints:
 
 
 def compact_contacts(contacts: Contacts, capacity: int, extra=None,
-                     sort_by_extra: bool = False):
+                     sort_by_extra: bool = False,
+                     static_windows: tuple | None = None):
     """Compact valid manifolds into a ``capacity``-sized buffer.
 
     AABB-overlap pairs vastly outnumber true contacts (a sphere's box
@@ -465,6 +466,14 @@ def compact_contacts(contacts: Contacts, capacity: int, extra=None,
     makes the compacted contacts COLOR-MAJOR, so the solver can consume
     them without its own per-frame color sort-gather (the biggest
     solve-setup cost at 10k bodies).
+
+    ``static_windows``: optional static rung per color ``(rung0, rung1,
+    ...)`` — color k's entries land at compile-time offset ``sum(rungs[:k])``
+    padded to ``rungs[k]`` rows (the fused-sweep layout, gs_fused.py).
+    ``capacity`` is ignored (buffer = sum of rungs); entries past a
+    color's rung are dropped — the per-class TRUE counts are returned as a
+    4th value so the host can regrow the rung (same contract as the
+    window ladder). Requires ``sort_by_extra``.
     """
     c = contacts.capacity
     flags = contacts.valid
@@ -479,8 +488,35 @@ def compact_contacts(contacts: Contacts, capacity: int, extra=None,
         key = jnp.where(flags, (jnp.clip(extra, 0, 127) << 24) | idx,
                         jnp.int32(0x7FFFFFFF))
         skey, take = jax.lax.sort_key_val(key, idx)
-        take = take[:capacity]
-        valid_out = jnp.arange(capacity) < jnp.minimum(count, capacity)
+        if static_windows is not None:
+            n_classes = len(static_windows)
+            offsets = np.concatenate(
+                [[0], np.cumsum(static_windows)]).astype(np.int32)
+            capacity = int(offsets[-1])
+            # true per-class counts (pre-clamp) for the rung-regrow signal
+            cls = jnp.where(flags, jnp.clip(extra, 0, n_classes - 1),
+                            n_classes)
+            class_counts = jax.ops.segment_sum(
+                jnp.ones((c,), jnp.int32), cls, num_segments=n_classes + 1
+            )[:n_classes]
+            cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(class_counts)]).astype(
+                                       jnp.int32)
+            # out slot s of color k takes sorted position cum[k] + rank
+            col_of_slot = np.zeros((capacity,), np.int32)
+            j_of_slot = np.zeros((capacity,), np.int32)
+            for k in range(n_classes):
+                o, r = int(offsets[k]), int(static_windows[k])
+                col_of_slot[o:o + r] = k
+                j_of_slot[o:o + r] = np.arange(r)
+            col_of_slot = jnp.asarray(col_of_slot)
+            j_of_slot = jnp.asarray(j_of_slot)
+            valid_out = j_of_slot < (cum[col_of_slot + 1]
+                                     - cum[col_of_slot])
+            take = take[jnp.minimum(cum[col_of_slot] + j_of_slot, c - 1)]
+        else:
+            take = take[:capacity]
+            valid_out = jnp.arange(capacity) < jnp.minimum(count, capacity)
 
         # ONE wide row gather for every f32 field (TPU gather cost is per
         # row); int fields ride their own small gathers
@@ -503,6 +539,9 @@ def compact_contacts(contacts: Contacts, capacity: int, extra=None,
             num_points=jnp.where(valid_out, contacts.num_points[take], 0),
             valid=valid_out,
         )
+        if static_windows is not None:
+            colors_out = jnp.where(valid_out, col_of_slot, 0)
+            return out, count, colors_out, class_counts
         colors_out = jnp.where(valid_out,
                                (skey[:capacity] >> 24) & 0x7F, 0)
         return out, count, colors_out

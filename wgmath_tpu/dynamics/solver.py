@@ -1067,7 +1067,9 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           colors_in=None, shard=None, stable_slots: bool = False,
           gs_tail_window: int = 0, gs_split: int = 8,
           cache_in=None, return_cache: bool = False,
-          presorted: bool = False, gs_windows: tuple = ()):
+          presorted: bool = False, gs_windows: tuple = (),
+          fused: bool = False, fused_rung0: int = 0,
+          fused_class_counts=None):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors)``. One
     jit-traceable program.
@@ -1182,9 +1184,37 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # and the per-frame field sort-gather disappears entirely
         use_presorted = bool(presorted and colors_in is not None
                              and shard is None)
+        # fused sweep (gs_fused.py): STATIC rung-padded layout — contacts
+        # compacted to compile-time per-color offsets upstream
+        # (compact_contacts(static_windows=...)), the whole sweep one
+        # Pallas kernel. Requires the presorted color-major path, 3D.
+        use_fused = bool(fused and gs_windows and use_presorted
+                         and fused_class_counts is not None and dim == 3)
+        if use_fused:
+            from wgmath_tpu.dynamics.gs_fused import (
+                build_fused_tables,
+                fused_layout,
+                fused_sweep,
+                gather_width,
+            )
+
+            f_rungs, f_offs, f_ctot = fused_layout(
+                tuple(gs_windows[:max_colors]), fused_rung0)
+            assert c_cap == f_ctot, (c_cap, f_ctot)
+            f_wg = gather_width(n, tuple(gs_windows[:max_colors]))
 
         def _layout_sides():
-            if use_presorted:
+            if use_fused:
+                # static rung-padded layout: identity order, compile-time
+                # offsets, TRUE class counts (the rung-regrow signal)
+                counts = jnp.concatenate([
+                    fused_class_counts.astype(jnp.int32),
+                    jnp.zeros(max_colors + 2 - fused_class_counts.shape[0],
+                              jnp.int32)])
+                offsets = jnp.asarray(f_offs)  # [max_colors + 2] static
+                order_padded = jnp.arange(c_cap, dtype=jnp.int32)
+                layout = (order_padded, offsets, counts)
+            elif use_presorted:
                 key = jnp.where(cons.valid,
                                 jnp.clip(colors, 0, max_colors),
                                 max_colors + 1).astype(jnp.int32)
@@ -1209,12 +1239,19 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             sides = _build_sides(cons.body_a[idxp], cons.body_b[idxp],
                                  dyn_a[idxp], dyn_b[idxp],
                                  jnp.where(padv, False, cons.valid[idxp]), n)
+            if use_fused:
+                tables = build_fused_tables(
+                    cons.body_a, cons.body_b, dyn_a, dyn_b, cons.valid,
+                    windows=tuple(gs_windows[:max_colors]),
+                    rung0=fused_rung0, w_g=f_wg)
+                return layout + sides + tables
             return layout + sides
 
         # layout + warmstart segments depend only on (pair keys, colors):
         # bitwise-stable contact sets reuse last frame's (sort-free)
+        bundle_len = 8 if use_fused else 6
         if (cache_in is not None and same is not None
-                and len(cache_in) == 6):
+                and len(cache_in) == bundle_len):
             fresh = _layout_sides()
             shapes_ok = all(
                 tuple(c.shape) == tuple(f.shape) and c.dtype == f.dtype
@@ -1229,6 +1266,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             bundle = _layout_sides()
         layout = bundle[:3]
         ws_sides = bundle[3:6]
+        fused_tables = bundle[6:8] if use_fused else None
         solve_cache = bundle
         # num_colors must come from the layout actually swept: when `same`
         # reuses the cached bundle while `colors` was freshly recolored (a
@@ -1245,7 +1283,10 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # fields sorted once, impulses carried sorted, unsorted once at end
         order_padded = layout[0]
         if use_presorted:
-            ss, packed_fields = pad_solver_fields_packed(cons, cmax)
+            # fused layout already pads every window statically — no
+            # dynamic-slice overrun is possible past the last offset
+            ss, packed_fields = pad_solver_fields_packed(
+                cons, 0 if use_fused else cmax)
         else:
             ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
             idx_s0 = jnp.minimum(order_padded, c_cap - 1)
@@ -1266,7 +1307,33 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 and gs_tail_window < cmax and shard is None
                 and not gs_windows)
 
+    if not use_jacobi and use_fused:
+        # hoisted per-solve: transposed invariant fields for the fused
+        # sweep kernel (substep-invariant, like packed_fields itself)
+        f_winT = packed_fields[0].T
+        f_activeT = ss.valid.astype(jnp.float32)[None, :]
+        f_numpT = ss.num_points.astype(jnp.float32)[None, :]
+        f_p_max = cons.n_impulse.shape[1]
+        f_s_len = cons.tangent_a.shape[-2]
+        f_windows = tuple(gs_windows[:max_colors])
+        f_idx, f_inv = fused_tables
+
     def run_sweep(cons_ns, vels, ni, ti):
+        if use_fused:
+            vt = jnp.zeros((8, f_wg), jnp.float32)
+            vt = vt.at[0:3, :n].set(vels.linear.T)
+            vt = vt.at[3:6, :n].set(vels.angular.T)
+            nT = ni.reshape(c_cap, f_p_max).T
+            tT = ti.reshape(c_cap, f_p_max * f_s_len).T
+            n_rhsT = cons_ns.n_rhs.reshape(c_cap, f_p_max).T
+            t_rhsT = cons_ns.t_rhs.reshape(c_cap, f_p_max * f_s_len).T
+            vt, nT, tT = fused_sweep(
+                vt, nT, tT, f_winT, f_activeT, f_numpT,
+                cons_ns.cfm_factor[0], n_rhsT, t_rhsT, f_idx, f_inv,
+                layout[2], windows=f_windows, rung0=fused_rung0,
+                p_max=f_p_max, s_len=f_s_len, meta=packed_fields[1])
+            vels = Velocity(vt[0:3, :n].T, vt[3:6, :n].T)
+            return (vels, nT.T.reshape(ni.shape), tT.T.reshape(ti.shape))
         if not use_tail:
             return gs_color_major_pass(
                 cons_ns, vels, ni, ti, layout, num_colors, cmax=cmax,
@@ -1344,12 +1411,15 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             (vels, bodies.poses, cons))
     else:
         if use_presorted:
+            imp_pad = 0 if use_fused else cmax
             n_imp_s = jnp.concatenate(
                 [cons.n_impulse,
-                 jnp.zeros((cmax,) + cons.n_impulse.shape[1:], jnp.float32)])
+                 jnp.zeros((imp_pad,) + cons.n_impulse.shape[1:],
+                           jnp.float32)])
             t_imp_s = jnp.concatenate(
                 [cons.t_impulse,
-                 jnp.zeros((cmax,) + cons.t_impulse.shape[1:], jnp.float32)])
+                 jnp.zeros((imp_pad,) + cons.t_impulse.shape[1:],
+                           jnp.float32)])
         else:
             n_imp_s = cons.n_impulse[idx_s0]
             t_imp_s = cons.t_impulse[idx_s0]
@@ -1374,7 +1444,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # uncolored residue (class_cap regime): segment 0 of the layout was
         # skipped this frame — report it through max_class so the host
         # regrows gs_cmax (bigger cap ⇒ fewer colors ⇒ residue vanishes)
-        head = head + jnp.where(class_counts[0] > 0,
+        residue_budget = fused_rung0 if use_fused else 0
+        head = head + jnp.where(class_counts[0] > residue_budget,
                                 cmax + class_counts[0], 0)
         # tail-window overflow: the largest class past the split color must
         # fit gs_tail_window (0 when the split sweep is off)
@@ -1436,7 +1507,9 @@ def transfer_warmstart(cons: ContactConstraints, prev: ContactConstraints,
     sorted_prev = key_prev[order]
     key_new = pack(cons.body_a, cons.body_b, cons.valid)
     pos = jnp.searchsorted(sorted_prev, key_new, method="sort")
-    pos = jnp.clip(pos, 0, cnew - 1)
+    # clip by the PREVIOUS buffer's size: capacities may differ across a
+    # re-bucket frame (the transfer is by key, not slot)
+    pos = jnp.clip(pos, 0, prev.body_a.shape[0] - 1)
     hit = (sorted_prev[pos] == key_new) & cons.valid
     src = order[pos]
     ws = params.warmstart_coefficient

@@ -148,6 +148,15 @@ class PipelineConfig:
     # scheme above). Host-rebucketed per color from the exported class
     # counts — supersedes the 2-level split when set.
     gs_windows: tuple = ()
+    # fused sweep (dynamics/gs_fused.py): the whole GS sweep as ONE Pallas
+    # kernel with VMEM-resident velocities. Requires gs_windows + the
+    # color-major cached-BP path (bp_slack > 0, gs_cmax > 0), 3D, no
+    # sharding. Contacts are then compacted to a STATIC rung-padded layout
+    # (contact_capacity is ignored; buffer = gs_rung0 + sum(gs_windows)).
+    gs_fused: bool = False
+    # static budget for the uncolored residue class (color 0, parked
+    # unswept for a frame) in the fused layout; host-grown on overflow
+    gs_rung0: int = 256
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -603,7 +612,24 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 contacts = concat_contacts(contacts, pc_contacts)
     contact_colors = bp_colors[0] if color_with_bp else None
     presorted = False
-    if config.contact_capacity:
+    dim_ = state.bodies.dim
+    use_fused = (config.gs_fused and bool(config.gs_windows)
+                 and contact_colors is not None and shard is None
+                 and dim_ == 3)
+    fused_class_counts = None
+    if use_fused:
+        from wgmath_tpu.dynamics.constraint import compact_contacts
+
+        # STATIC rung-padded color-major layout (fused-sweep kernel):
+        # color k's contacts land at compile-time offsets, padded to the
+        # ladder rung; per-class TRUE counts signal rung overflow
+        windows = (config.gs_rung0,) + tuple(
+            config.gs_windows[:config.max_colors])
+        contacts, contact_count, contact_colors, fused_class_counts = \
+            compact_contacts(contacts, 0, extra=contact_colors,
+                             sort_by_extra=True, static_windows=windows)
+        presorted = True
+    elif config.contact_capacity:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 
         if contact_colors is not None:
@@ -643,6 +669,9 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         # windows across the mesh instead
         gs_windows=() if shard is not None else config.gs_windows,
         shard=shard,
+        fused=use_fused,
+        fused_rung0=config.gs_rung0,
+        fused_class_counts=fused_class_counts,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([
@@ -733,7 +762,9 @@ def step_checked(state: PhysicsState, params: SimParams,
         counts[0] = -counts[0]
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
-    if config.contact_capacity and int(counts[1]) > config.contact_capacity:
+    if (config.contact_capacity and not config.gs_fused
+            and int(counts[1]) > config.contact_capacity):
+        # (fused layout sizes the buffer from the rungs, not this knob)
         regrow["contact_capacity"] = capacity_bucket(int(counts[1]))
     if config.gs_cmax and int(counts[2]) > config.gs_cmax:
         regrow["gs_cmax"] = capacity_bucket(int(counts[2]), floor=256)
@@ -769,6 +800,11 @@ def step_checked(state: PhysicsState, params: SimParams,
                 changed = True
         if changed:
             regrow["gs_windows"] = tuple(rungs)
+        # fused layout: the residue class (color 0) has its own static
+        # budget — grow it the same way (overflow drops contacts)
+        if config.gs_fused and int(cc[0]) > config.gs_rung0:
+            regrow["gs_rung0"] = max(
+                256, -(-int(cc[0]) * 23 // 20 // 256) * 256)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:
