@@ -229,3 +229,62 @@ def test_pipeline_gs_fused_matches_ladder():
     for _ in range(10):
         sf, cf = step_checked(sf, params, cf)
     assert np.isfinite(np.asarray(sf.bodies.poses.translation)).all()
+
+
+def test_fused_builder_matches_reference():
+    """build_pallas.build_constraints_fused vs constraint.build_constraints
+    field-by-field on random contacts (XLA fallback + pallas interpret)."""
+    import dataclasses
+
+    from wgmath_tpu.dynamics.build_pallas import (
+        build_constraints_fused,
+        field_meta,
+    )
+
+    for seed in (0, 3):
+        (bodies, mprops, cons_setup, ss, packed_fields, layout, windows,
+         n_colors, ctot, n) = _random_setup(seed=seed)
+        # rebuild raw contacts identical to _random_setup's
+        rng = np.random.default_rng(seed)
+        pairs = set()
+        while len(pairs) < 96:
+            a, b = rng.integers(0, n, 2)
+            if a == b:
+                continue
+            pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)[:96]
+        c = 96
+        normals = rng.normal(size=(c, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        contacts = Contacts(
+            jnp.asarray([p[0] for p in pairs], jnp.int32),
+            jnp.asarray([p[1] for p in pairs], jnp.int32),
+            jnp.asarray(normals),
+            jnp.asarray(rng.uniform(-0.3, 0.3, (c, 1, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(-0.05, 0.0, (c, 1)), jnp.float32),
+            jnp.ones((c,), jnp.int32),
+            jnp.ones((c,), bool),
+        )
+        params = SimParams().substep().with_dim(3)
+        ref = build_constraints(bodies.poses, bodies.vels, mprops, contacts,
+                                params)
+        got, bigT, meta = build_constraints_fused(
+            bodies.poses, bodies.vels, mprops, contacts, params)
+        for f in meta:
+            r = np.asarray(getattr(ref, f))
+            g = np.asarray(getattr(got, f))
+            # f32 rounding in cancellation-heavy torque terms scales with
+            # the field's magnitude, not per-element values
+            tol = 1e-5 + 2e-6 * float(np.abs(r).max(initial=0.0))
+            assert np.abs(r - g).max(initial=0.0) <= tol, \
+                f"field {f} (seed {seed}): {np.abs(r - g).max()} > {tol}"
+        # bigT row-layout must match pad_solver_fields_packed's
+        from wgmath_tpu.dynamics.solver import pad_solver_fields_packed
+
+        ss2, (packed2d, pmeta) = pad_solver_fields_packed(ref, 0)
+        k_pack = packed2d.shape[1]
+        np.testing.assert_allclose(np.asarray(bigT[:k_pack].T),
+                                   np.asarray(packed2d), rtol=2e-5,
+                                   atol=1e-5)
+        for f, (at, tail) in pmeta.items():
+            assert meta[f] == (at, tuple(tail)), f

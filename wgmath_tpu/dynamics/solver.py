@@ -1099,7 +1099,20 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     assert n < (1 << 16), (
         f"{n} bodies: 16-bit pair keys alias at >= 65536 bodies")
 
-    cons = build_constraints(bodies.poses, bodies.vels, mprops, contacts, params)
+    use_fused = (fused and bool(gs_windows) and presorted
+                 and colors_in is not None and shard is None and dim == 3
+                 and fused_class_counts is not None and not use_jacobi)
+    if use_fused:
+        # fused builder: one Pallas kernel emits the packed transposed
+        # field matrix directly (build_pallas.py) — the per-frame
+        # constraint build was solve-setup's dominant dispatch cost
+        from wgmath_tpu.dynamics.build_pallas import build_constraints_fused
+
+        cons, pre_bigT, pre_meta = build_constraints_fused(
+            bodies.poses, bodies.vels, mprops, contacts, params)
+    else:
+        cons = build_constraints(bodies.poses, bodies.vels, mprops,
+                                 contacts, params)
     # contact-set stability predicate: when the (body_a, body_b, valid) keys
     # are bitwise-identical to last frame's (the settled-scene common case),
     # the graph coloring is reused under lax.cond — colors depend only on
@@ -1188,8 +1201,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # compacted to compile-time per-color offsets upstream
         # (compact_contacts(static_windows=...)), the whole sweep one
         # Pallas kernel. Requires the presorted color-major path, 3D.
-        use_fused = bool(fused and gs_windows and use_presorted
-                         and fused_class_counts is not None and dim == 3)
+        # (use_fused itself was decided before the constraint build.)
         if use_fused:
             from wgmath_tpu.dynamics.gs_fused import (
                 build_fused_tables,
@@ -1282,11 +1294,21 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # everything below lives in color-sorted space for the whole solve:
         # fields sorted once, impulses carried sorted, unsorted once at end
         order_padded = layout[0]
-        if use_presorted:
-            # fused layout already pads every window statically — no
-            # dynamic-slice overrun is possible past the last offset
-            ss, packed_fields = pad_solver_fields_packed(
-                cons, 0 if use_fused else cmax)
+        if use_fused:
+            # the fused builder's cons fields ARE row-major views of the
+            # packed matrix — no repacking at all; the sweep kernel takes
+            # the transposed matrix's _PACK_FIELDS prefix directly
+            from types import SimpleNamespace
+
+            ss = SimpleNamespace(
+                **{f: getattr(cons, f) for f in _F32_SORT_FIELDS},
+                body_a=cons.body_a, body_b=cons.body_b,
+                num_points=cons.num_points, valid=cons.valid)
+            k_pack = pre_meta["cfm_factor"][0]
+            packed_fields = (pre_bigT[:k_pack],
+                             {f: pre_meta[f] for f in _PACK_FIELDS})
+        elif use_presorted:
+            ss, packed_fields = pad_solver_fields_packed(cons, cmax)
         else:
             ss, packed_fields = sort_solver_fields_packed(cons, order_padded)
             idx_s0 = jnp.minimum(order_padded, c_cap - 1)
@@ -1309,8 +1331,9 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
 
     if not use_jacobi and use_fused:
         # hoisted per-solve: transposed invariant fields for the fused
-        # sweep kernel (substep-invariant, like packed_fields itself)
-        f_winT = packed_fields[0].T
+        # sweep kernel (substep-invariant; already transposed — the fused
+        # builder emits the matrix component-major)
+        f_winT = packed_fields[0]
         f_activeT = ss.valid.astype(jnp.float32)[None, :]
         f_numpT = ss.num_points.astype(jnp.float32)[None, :]
         f_p_max = cons.n_impulse.shape[1]
