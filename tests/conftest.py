@@ -42,7 +42,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 _BUDGET = 80
 # executables-per-test estimates by file (default 1)
 _WEIGHT = {"test_physics": 4, "test_scenes": 4, "test_parallel": 4,
-           "test_oracle": 3, "test_mesh_accel": 3,
+           "test_oracle": 3, "test_mesh_accel": 3, "test_gs_fused": 3,
            "test_standalone_shapes": 3, "test_joints": 2, "test_queries": 2}
 
 
