@@ -142,19 +142,22 @@ def _fields_cm(win, meta, rhs_extras, p_max, s_len):
 
 
 def _sweep_color(c, off, rung, w_g, vt, n_imp, t_imp, winT, activeT, numpT,
-                 cfmT, n_rhsT, t_rhsT, idx_row, inv_row, meta, p_max, s_len):
+                 cfmT, n_rhs_w, t_rhs_w, idx_row, inv_row, meta, p_max,
+                 s_len):
     """One color window on VALUES (shared by kernel and XLA fallback).
 
-    Returns (v_add [8, Wg] to accumulate into vt, new_n [P, rung],
-    new_t [P*S, rung])."""
+    ``n_rhs_w`` [P, rung] / ``t_rhs_w`` [P*S, rung] are the color's rhs
+    slices (pre-sliced so the substep kernel can feed freshly relinearized
+    values). Returns (v_add [8, Wg] to accumulate into vt, new_n
+    [P, rung], new_t [P*S, rung])."""
     sl = lambda x: x[:, off:off + rung]
     idx8 = jnp.broadcast_to(idx_row, (ROWS, w_g))
     pp = jnp.take_along_axis(vt, idx8, axis=1, mode="promise_in_bounds")
     v1l, v1a = pp[0:3, 0:rung], pp[3:6, 0:rung]
     v2l = pp[0:3, rung:2 * rung]
     v2a = pp[3:6, rung:2 * rung]
-    extras = (cfmT, sl(n_rhsT).reshape(p_max, rung),
-              sl(t_rhsT).reshape(p_max, s_len, rung),
+    extras = (cfmT, n_rhs_w.reshape(p_max, rung),
+              t_rhs_w.reshape(p_max, s_len, rung),
               sl(numpT), sl(activeT))
     f = _fields_cm(sl(winT), meta, extras, p_max, s_len)
     prev_n = sl(n_imp).reshape(p_max, rung)
@@ -175,6 +178,107 @@ def _sweep_color(c, off, rung, w_g, vt, n_imp, t_imp, winT, activeT, numpT,
         p_max * s_len, rung)
 
 
+def _quat_rot_cm(q, v):
+    """Rotate [3, L] v by [4, L] xyzw quaternion (component-major)."""
+    u, w = q[0:3], q[3:4]
+    def cr(a, b):
+        return jnp.concatenate([
+            a[1:2] * b[2:3] - a[2:3] * b[1:2],
+            a[2:3] * b[0:1] - a[0:1] * b[2:3],
+            a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+    uv = cr(u, v)
+    return v + 2.0 * (w * uv + cr(u, uv))
+
+
+def _ws_color(off, rung, w_g, n_imp, t_imp, winT, activeT, numpT, inv_row,
+              meta, p_max, s_len):
+    """Warmstart velocity deltas of one color window, returned as a
+    [8, Wg] add via the inverse permutation (≙ solver._ws_deltas +
+    _ws_apply, color-sliced — addition commutes so per-color application
+    equals the all-at-once segment sum)."""
+    sl = lambda x: x[:, off:off + rung]
+    f = _fields_cm(sl(winT), meta,
+                   (None, None, None, sl(numpT), sl(activeT)),
+                   p_max, s_len)
+    active = (f["active"] > 0.5)
+    dir_a = f["dir_a"]
+    d1l = jnp.zeros_like(dir_a)
+    d2l = jnp.zeros_like(dir_a)
+    d1a = jnp.zeros_like(dir_a)
+    d2a = jnp.zeros_like(dir_a)
+    nT = sl(n_imp).reshape(p_max, rung)
+    tT = sl(t_imp).reshape(p_max, s_len, rung)
+    for k in range(p_max):
+        m = active & (f["nump"] > k)
+        imp = jnp.where(m, nT[k:k + 1], 0.0)
+        d1l = d1l + dir_a * (f["im_a"] * imp)
+        d1a = d1a + f["n_ii_torque_a"][k] * imp
+        d2l = d2l - dir_a * (f["im_b"] * imp)
+        d2a = d2a + f["n_ii_torque_b"][k] * imp
+        for j in range(s_len):
+            timp = jnp.where(m, tT[k, j:j + 1], 0.0)
+            tj = f["tangent_a"][j]
+            d1l = d1l + tj * (f["im_a"] * timp)
+            d1a = d1a + f["t_ii_torque_a"][k, j] * timp
+            d2l = d2l - tj * (f["im_b"] * timp)
+            d2a = d2a + f["t_ii_torque_b"][k, j] * timp
+    d12 = jnp.concatenate([jnp.concatenate([d1l, d1a], axis=0),
+                           jnp.concatenate([d2l, d2a], axis=0)], axis=1)
+    d_pad = jnp.zeros((ROWS, w_g), jnp.float32)
+    d_pad = jax.lax.dynamic_update_slice(d_pad, d12, (0, 0))
+    inv8 = jnp.broadcast_to(inv_row, (ROWS, w_g))
+    return jnp.take_along_axis(d_pad, inv8, axis=1,
+                               mode="promise_in_bounds")
+
+
+def _rhs_color(off, rung, poseT, idx_row, winT, rhs_srcT, src_meta, meta,
+               p_max, s_len, w_g, *, inv_dt, erp_inv_dt, allowed_err,
+               max_corr):
+    """Per-color rhs relinearization (≙ constraint.update_rhs_sorted) with
+    the pose gather riding the color's index row. Returns
+    (n_rhs [P, rung], n_rhs_wo [P, rung], t_rhs [P*S, rung])."""
+    sl = lambda x: x[:, off:off + rung]
+    idx8 = jnp.broadcast_to(idx_row, (ROWS, w_g))
+    pp = jnp.take_along_axis(poseT, idx8, axis=1, mode="promise_in_bounds")
+    q1, t1_, s1 = pp[0:4, 0:rung], pp[4:7, 0:rung], pp[7:8, 0:rung]
+    q2 = pp[0:4, rung:2 * rung]
+    t2_ = pp[4:7, rung:2 * rung]
+    s2 = pp[7:8, rung:2 * rung]
+
+    # source rows live in rhs_srcT with their own meta
+    def src(name, shape):
+        a0, tail = src_meta[name]
+        k = int(np.prod(tail)) if tail else 1
+        v = rhs_srcT[a0:a0 + k, off:off + rung]
+        return v.reshape(shape + (rung,))
+
+    dir_a = winT[meta["dir_a"][0]:meta["dir_a"][0] + 3, off:off + rung]
+    ta0 = meta["tangent_a"][0]
+    tang = winT[ta0:ta0 + s_len * 3, off:off + rung].reshape(s_len, 3, rung)
+    lpa = src("local_pt_a", (p_max, 3))
+    lpb = src("local_pt_b", (p_max, 3))
+    idist = src("info_dist", (p_max,))
+    invel = src("info_normal_vel", (p_max,))
+    trwb = src("t_rhs_wo_bias", (p_max, s_len))
+
+    n_rhs, n_wo, t_rhs = [], [], []
+    for k in range(p_max):
+        p1 = s1 * _quat_rot_cm(q1, lpa[k]) + t1_
+        p2 = s2 * _quat_rot_cm(q2, lpb[k]) + t2_
+        drift = p1 - p2
+        dist = idist[k:k + 1] + jnp.sum(drift * dir_a, axis=0,
+                                        keepdims=True)
+        wo = invel[k:k + 1] + jnp.maximum(dist, 0.0) * inv_dt
+        bias = jnp.clip((dist + allowed_err) * erp_inv_dt, -max_corr, 0.0)
+        n_rhs.append(wo + bias)
+        n_wo.append(wo)
+        for j in range(s_len):
+            tb = jnp.sum(drift * tang[j], axis=0, keepdims=True) * inv_dt
+            t_rhs.append(trwb[k, j:j + 1] + tb)
+    return (jnp.concatenate(n_rhs, axis=0), jnp.concatenate(n_wo, axis=0),
+            jnp.concatenate(t_rhs, axis=0))
+
+
 def _fused_sweep_xla(vt, n_imp, t_imp, winT, activeT, numpT, cfm, n_rhsT,
                      t_rhsT, idx, inv, counts, *, windows, rung0, p_max,
                      s_len, meta_t):
@@ -190,8 +294,9 @@ def _fused_sweep_xla(vt, n_imp, t_imp, winT, activeT, numpT, cfm, n_rhsT,
             cfm_w = jnp.broadcast_to(cfmT, (1, rung))
             v_add, new_n, new_t = _sweep_color(
                 k, off, rung, w_g, vt, n_imp, t_imp, winT, activeT, numpT,
-                cfm_w, n_rhsT, t_rhsT, idx[k - 1:k], inv[k - 1:k], meta,
-                p_max, s_len)
+                cfm_w, n_rhsT[:, off:off + rung],
+                t_rhsT[:, off:off + rung], idx[k - 1:k], inv[k - 1:k],
+                meta, p_max, s_len)
             vt = vt + v_add
             n_imp = jax.lax.dynamic_update_slice(n_imp, new_n, (0, off))
             t_imp = jax.lax.dynamic_update_slice(t_imp, new_t, (0, off))
@@ -228,7 +333,8 @@ def _fused_sweep_pallas(vt, n_imp, t_imp, winT, activeT, numpT, cfm, n_rhsT,
                 v_add, new_n, new_t = _sweep_color(
                     k, off, rung, w_g, vout_ref[...], nout_ref[...],
                     tout_ref[...], win_ref[...], act_ref[...],
-                    nump_ref[...], cfm_w, nrhs_ref[...], trhs_ref[...],
+                    nump_ref[...], cfm_w, nrhs_ref[:, off:off + rung],
+                    trhs_ref[:, off:off + rung],
                     idx_ref[k - 1:k, :], inv_ref[k - 1:k, :], meta,
                     p_max, s_len)
                 vout_ref[...] += v_add
@@ -268,3 +374,158 @@ def fused_sweep(vt, n_imp, t_imp, winT, activeT, numpT, cfm, n_rhsT,
     return fn(vt, n_imp, t_imp, winT, activeT, numpT, cfm, n_rhsT, t_rhsT,
               idx, inv, counts, windows=windows, rung0=rung0, p_max=p_max,
               s_len=s_len, meta_t=meta_t)
+
+
+# ---------------------------------------------------------------------------
+# Fused substep-1: impulse scale + warmstart apply + rhs relinearization +
+# the biased sweep, all in one kernel (phase 2 — removes the per-substep
+# 2C-row pose gather and the 2C-row warmstart segment apply from XLA)
+# ---------------------------------------------------------------------------
+
+
+def _substep1_xla(vt, n_imp, t_imp, winT, rhs_srcT, poseT, activeT, numpT,
+                  idx, inv, counts, *, windows, rung0, p_max, s_len,
+                  meta_t, src_meta_t, scalars):
+    meta = dict(meta_t)
+    src_meta = dict(src_meta_t)
+    ws_coeff, cfm, inv_dt, erp_inv_dt, allowed_err, max_corr = scalars
+    w_g = vt.shape[1]
+    rungs, offsets, ctot = fused_layout(windows, rung0)
+    n_imp = n_imp * ws_coeff
+    t_imp = t_imp * ws_coeff
+    n_wo_out = jnp.zeros((p_max, n_imp.shape[1]), jnp.float32)
+
+    # phase 1: warmstart apply, all colors (pure adds — order-free)
+    for k, rung in enumerate(windows, start=1):
+        off = int(offsets[k])
+
+        def ws(v, k=k, off=off, rung=rung):
+            return v + _ws_color(off, rung, w_g, n_imp, t_imp, winT,
+                                 activeT, numpT, inv[k - 1:k], meta,
+                                 p_max, s_len)
+
+        vt = jax.lax.cond(counts[k] > 0, ws, lambda v: v, vt)
+
+    # phase 2: rhs + biased sweep, sequential colors
+    cfmT = jnp.full((1, 1), cfm, jnp.float32)
+    for k, rung in enumerate(windows, start=1):
+        off = int(offsets[k])
+
+        def body(args, k=k, off=off, rung=rung):
+            vt, n_imp, t_imp, n_wo_out = args
+            n_rhs, n_wo, t_rhs = _rhs_color(
+                off, rung, poseT, idx[k - 1:k], winT, rhs_srcT, src_meta,
+                meta, p_max, s_len, w_g, inv_dt=inv_dt,
+                erp_inv_dt=erp_inv_dt, allowed_err=allowed_err,
+                max_corr=max_corr)
+            n_wo_out = jax.lax.dynamic_update_slice(n_wo_out, n_wo,
+                                                    (0, off))
+            cfm_w = jnp.broadcast_to(cfmT, (1, rung))
+            v_add, new_n, new_t = _sweep_color(
+                k, off, rung, w_g, vt, n_imp, t_imp, winT, activeT, numpT,
+                cfm_w, n_rhs, t_rhs, idx[k - 1:k], inv[k - 1:k], meta,
+                p_max, s_len)
+            vt = vt + v_add
+            n_imp = jax.lax.dynamic_update_slice(n_imp, new_n, (0, off))
+            t_imp = jax.lax.dynamic_update_slice(t_imp, new_t, (0, off))
+            return vt, n_imp, t_imp, n_wo_out
+
+        vt, n_imp, t_imp, n_wo_out = jax.lax.cond(
+            counts[k] > 0, body, lambda a: a, (vt, n_imp, t_imp, n_wo_out))
+    return vt, n_imp, t_imp, n_wo_out
+
+
+def _substep1_pallas(vt, n_imp, t_imp, winT, rhs_srcT, poseT, activeT,
+                     numpT, idx, inv, counts, *, windows, rung0, p_max,
+                     s_len, meta_t, src_meta_t, scalars):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    meta = dict(meta_t)
+    src_meta = dict(src_meta_t)
+    ws_coeff, cfm, inv_dt, erp_inv_dt, allowed_err, max_corr = scalars
+    w_g = vt.shape[1]
+    rungs, offsets, ctot = fused_layout(windows, rung0)
+
+    def kernel(counts_ref, vin_ref, nin_ref, tin_ref, win_ref, src_ref,
+               pose_ref, act_ref, nump_ref, idx_ref, inv_ref,
+               vout_ref, nout_ref, tout_ref, nwo_ref):
+        vout_ref[...] = vin_ref[...]
+        nout_ref[...] = nin_ref[...] * ws_coeff
+        tout_ref[...] = tin_ref[...] * ws_coeff
+        nwo_ref[...] = jnp.zeros_like(nwo_ref)
+        for k, rung in enumerate(windows, start=1):
+            off = int(offsets[k])
+
+            @pl.when(counts_ref[0, k] > 0)
+            def _(k=k, off=off, rung=rung):
+                vout_ref[...] += _ws_color(
+                    off, rung, w_g, nout_ref[...], tout_ref[...],
+                    win_ref[...], act_ref[...], nump_ref[...],
+                    inv_ref[k - 1:k, :], meta, p_max, s_len)
+        for k, rung in enumerate(windows, start=1):
+            off = int(offsets[k])
+
+            @pl.when(counts_ref[0, k] > 0)
+            def _(k=k, off=off, rung=rung):
+                n_rhs, n_wo, t_rhs = _rhs_color(
+                    off, rung, pose_ref[...], idx_ref[k - 1:k, :],
+                    win_ref[...], src_ref[...], src_meta, meta, p_max,
+                    s_len, w_g, inv_dt=inv_dt, erp_inv_dt=erp_inv_dt,
+                    allowed_err=allowed_err, max_corr=max_corr)
+                nwo_ref[:, off:off + rung] = n_wo
+                cfm_w = jnp.full((1, rung), cfm, jnp.float32)
+                v_add, new_n, new_t = _sweep_color(
+                    k, off, rung, w_g, vout_ref[...], nout_ref[...],
+                    tout_ref[...], win_ref[...], act_ref[...],
+                    nump_ref[...], cfm_w, n_rhs, t_rhs,
+                    idx_ref[k - 1:k, :], inv_ref[k - 1:k, :], meta,
+                    p_max, s_len)
+                vout_ref[...] += v_add
+                nout_ref[:, off:off + rung] = new_n
+                tout_ref[:, off:off + rung] = new_t
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(vt.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(n_imp.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(t_imp.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((p_max, n_imp.shape[1]),
+                                        jnp.float32)),
+        in_specs=[smem] + [spec] * 10,
+        out_specs=(spec, spec, spec, spec),
+        interpret=pallas_interpret(),
+    )(counts.reshape(1, -1).astype(jnp.int32), vt, n_imp, t_imp, winT,
+      rhs_srcT, poseT, activeT, numpT, idx, inv)
+
+
+def fused_substep1(vt, n_imp, t_imp, winT, rhs_srcT, poseT, activeT, numpT,
+                   idx, inv, counts, *, windows: tuple, rung0: int,
+                   p_max: int, s_len: int, meta, src_meta, scalars,
+                   use_pallas: bool | None = None):
+    """Substep opening: impulses *= ws_coeff, warmstart applied to the
+    velocity table, per-color rhs relinearization from ``poseT``
+    ([8, Wg]: quat 4 + translation 3 + scale 1, component-major), then the
+    BIASED sweep. Returns (vt, n_imp, t_imp, n_rhs_wo_bias [P, Ctot]) —
+    the wo-bias rhs feeds the unbiased second sweep (``fused_sweep`` with
+    cfm=1 and t_rhs = the invariant t_rhs_wo_bias rows).
+
+    ``scalars`` = (ws_coeff, cfm, inv_dt, erp_inv_dt, allowed_err,
+    max_corr) — substep-static python floats.
+
+    NOTE: the uncolored residue class (color 0) is NOT warmstart-applied
+    here (its rows can share bodies — no inverse permutation exists); the
+    caller applies those rows via the XLA segment path when rung0 > 0.
+    """
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    meta_t = tuple(sorted((k, (a, tuple(t))) for k, (a, t) in meta.items()))
+    src_meta_t = tuple(sorted((k, (a, tuple(t)))
+                              for k, (a, t) in src_meta.items()))
+    fn = _substep1_pallas if use_pallas else _substep1_xla
+    return fn(vt, n_imp, t_imp, winT, rhs_srcT, poseT, activeT, numpT, idx,
+              inv, counts, windows=windows, rung0=rung0, p_max=p_max,
+              s_len=s_len, meta_t=meta_t, src_meta_t=src_meta_t,
+              scalars=scalars)
