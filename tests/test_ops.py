@@ -75,6 +75,14 @@ def test_gemv_pallas(rng):
     assert_close(got, a @ x, rtol=1e-3, atol=1e-3)
 
 
+def test_gemv_tr_pallas(rng):
+    a = rng.normal(size=(512, 384)).astype(np.float32)
+    x = rng.normal(size=(512,)).astype(np.float32)
+    got = gemv(jnp.asarray(a), jnp.asarray(x), transpose_a=True,
+               impl="pallas")
+    assert_close(got, a.T @ x, rtol=1e-3, atol=1e-3)
+
+
 def test_gemv_batched(rng):
     a = rng.normal(size=(5, 64, 96)).astype(np.float32)
     x = rng.normal(size=(5, 96)).astype(np.float32)

@@ -29,9 +29,17 @@ def gemv(a: jax.Array, x: jax.Array, *, transpose_a: bool = False,
     m, k = (a.shape[-1], a.shape[-2]) if transpose_a else (a.shape[-2], a.shape[-1])
     if x.shape[-1] != k:
         raise ValueError(f"gemv inner dim mismatch: {a.shape} vs {x.shape}")
+    if transpose_a:
+        use_pallas = (
+            impl == "pallas"
+            or (impl == "auto" and on_tpu() and m % 128 == 0
+                and k % 256 == 0 and a.ndim == 2 and x.ndim == 1))
+        if use_pallas:
+            return _gemv_tr_pallas(a, x)
+        return gemv_xla(a, x, transpose_a=True)
     use_pallas = (
         impl == "pallas"
-        or (impl == "auto" and on_tpu() and not transpose_a
+        or (impl == "auto" and on_tpu()
             and m % 256 == 0 and k % 128 == 0 and a.ndim == 2 and x.ndim == 1)
     )
     if use_pallas:
@@ -69,6 +77,50 @@ def _gemv_pallas(a, x):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, bm), a.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k,
+            bytes_accessed=(m * k + k + m) * a.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(a, x.reshape(1, k))
+    return out.reshape(m)
+
+
+def _gemv_tr_pallas(a, x):
+    """``a.T @ x`` for a [K, M]: stream K-blocks of A (M stays on lanes),
+    accumulate the row-combination across the sequential TPU grid
+    (≙ gemv.wgsl gemv_tr/gemv_tr_fast — the reference reduces with
+    workgroup shared memory; here the VPU reduces along sublanes and the
+    grid carry IS the accumulator)."""
+    k, m = a.shape
+    bk = 256
+    n_blocks = cdiv(k, bk)
+
+    def kernel(a_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        part = jnp.sum(a_ref[:] * x_ref[0][:, None], axis=0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[0, :] = part
+
+        @pl.when(i > 0)
+        def _():
+            o_ref[0, :] += part
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((bk, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m), a.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k,
             bytes_accessed=(m * k + k + m) * a.dtype.itemsize,
