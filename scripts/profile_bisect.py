@@ -68,7 +68,7 @@ def main():
     orig_solve = pp.solve
 
     def stub_solve(bodies, mprops, contacts, params_, *, warmstart_from=None,
-                   colors_in=None, return_cache=False, cache_in=None, **kw):
+                   colors_in=None, cache_in=None, **kw):
         # finite, valid-masked feedback keeps BP + NP live
         d = jnp.sum(jnp.where(contacts.valid[:, None], contacts.dist,
                               0.0)) * 1e-9
@@ -77,8 +77,8 @@ def main():
         cons = warmstart_from
         colors = (colors_in if colors_in is not None
                   else jnp.zeros_like(cons.body_a))
-        out = (poses, bodies.vels, cons, jnp.zeros(2, jnp.int32), colors)
-        return out + (cache_in,) if return_cache else out
+        return (poses, bodies.vels, cons, jnp.zeros(2, jnp.int32), colors,
+                cache_in)
 
     pp.solve = stub_solve
     try:

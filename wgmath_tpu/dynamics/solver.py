@@ -1066,12 +1066,13 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           joints=None, gs_cmax: int = 0, prev_colors=None,
           colors_in=None, shard=None, stable_slots: bool = False,
           gs_tail_window: int = 0, gs_split: int = 8,
-          cache_in=None, return_cache: bool = False,
+          cache_in=None,
           presorted: bool = False, gs_windows: tuple = (),
           fused: bool = False, fused_rung0: int = 0,
           fused_class_counts=None):
     """Run the complete constraint solve for one frame; returns
-    ``(new_poses, new_vels, constraints, max_class, colors)``. One
+    ``(new_poses, new_vels, constraints, max_class, colors, solve_cache)``
+    — always six (solve_cache is None under jacobi). One
     jit-traceable program.
 
     Sequence ≙ solver.rs:238-460 with the substep dt convention of
@@ -1572,10 +1573,10 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             max_class = jnp.concatenate(
                 [max_class, class_counts.astype(jnp.int32)])
         colors_out = colors
-    if return_cache:
-        return (poses, vels, cons, max_class, colors_out,
-                None if use_jacobi else solve_cache)
-    return poses, vels, cons, max_class, colors_out
+    # ONE return shape (round-1 review: the conditional 5/6-tuple was a
+    # silent-unpacking hazard as cache features accreted)
+    return (poses, vels, cons, max_class, colors_out,
+            None if use_jacobi else solve_cache)
 
 
 def slotwise_warmstart(cons: ContactConstraints, prev: ContactConstraints,

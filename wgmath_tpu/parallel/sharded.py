@@ -93,7 +93,7 @@ def make_sharded_step(mesh: Mesh, params: SimParams, config: PipelineConfig):
         contacts = jax.tree.map(
             lambda x: (jax.lax.all_gather(x, "b", tiled=True)
                        if x.ndim >= 1 else x), contacts_local)
-        poses, vels, _cons, _max_class, _colors = solve(
+        poses, vels, _cons, _max_class, _colors, _cache = solve(
             bodies, mprops, contacts, params,
             use_jacobi=config.use_jacobi, max_colors=config.max_colors,
             max_per_body=config.max_per_body,

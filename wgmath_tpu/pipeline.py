@@ -663,7 +663,6 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         gs_tail_window=config.gs_tail_window,
         gs_split=config.gs_split,
         cache_in=state.solve_cache if warmstart else None,
-        return_cache=True,
         presorted=presorted,
         # window ladder is unsharded-only; sharded sweeps split the uniform
         # windows across the mesh instead
