@@ -529,3 +529,63 @@ def fused_substep1(vt, n_imp, t_imp, winT, rhs_srcT, poseT, activeT, numpT,
               inv, counts, windows=windows, rung0=rung0, p_max=p_max,
               s_len=s_len, meta_t=meta_t, src_meta_t=src_meta_t,
               scalars=scalars)
+
+
+# ---------------------------------------------------------------------------
+# Fused pose integration (keeps the substep loop fully component-major:
+# poses/velocities pack ONCE per solve, not once per substep)
+# ---------------------------------------------------------------------------
+
+
+def _cm_quat_mul(a, b):
+    ax, ay, az, aw = a[0:1], a[1:2], a[2:3], a[3:4]
+    bx, by, bz, bw = b[0:1], b[1:2], b[2:3], b[3:4]
+    return jnp.concatenate([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz], axis=0)
+
+
+def _cm_integrate(poseP, vt, comT, dt):
+    """Component-major semi-implicit Euler pose update (≙
+    body.integrate_velocity, 3D): poseP [8, L] = quat 4 + translation 3 +
+    scale 1; vt rows 0:3 linear, 3:6 angular; comT [3, L] local COM."""
+    q, t, s = poseP[0:4], poseP[4:7], poseP[7:8]
+    lin, ang = vt[0:3], vt[3:6]
+    init_com = s * _quat_rot_cm(q, comT) + t
+    v = ang * dt
+    angle = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    half = 0.5 * angle
+    small = angle < 1e-6
+    sinc_half = jnp.where(small, 0.5 - angle * angle / 48.0,
+                          jnp.sin(half) / jnp.maximum(angle, 1e-30))
+    dq = jnp.concatenate([v * sinc_half, jnp.cos(half)], axis=0)
+    rotated = _quat_rot_cm(dq, t - init_com)
+    new_q = _cm_quat_mul(dq, q)
+    new_q = new_q * jax.lax.rsqrt(
+        jnp.sum(new_q * new_q, axis=0, keepdims=True) + 1e-30)
+    new_t = init_com + rotated * s + lin * dt
+    return jnp.concatenate([new_q, new_t, s], axis=0)
+
+
+def fused_integrate(poseP, vt, comT, dt, *, use_pallas: bool | None = None):
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    if not use_pallas:
+        return _cm_integrate(poseP, vt, comT, float(dt))
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(p_ref, v_ref, c_ref, o_ref):
+        o_ref[...] = _cm_integrate(p_ref[...], v_ref[...], c_ref[...],
+                                   float(dt))
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(poseP.shape, jnp.float32),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=pallas_interpret(),
+    )(poseP, vt, comT)

@@ -1417,89 +1417,76 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     # warmstart segment apply disappear from XLA entirely
     use_fused2 = use_fused and joints is None
     if use_fused2:
-        from wgmath_tpu.dynamics.gs_fused import fused_substep1
+        from wgmath_tpu.dynamics.gs_fused import (
+            fused_integrate,
+            fused_substep1,
+        )
 
         src0 = int(pre_meta["t_rhs_wo_bias"][0])
         f_srcT = pre_bigT[src0:]
         f_src_meta = {f: (int(pre_meta[f][0]) - src0, pre_meta[f][1])
                       for f in ("t_rhs_wo_bias", "local_pt_a", "local_pt_b",
                                 "info_dist", "info_normal_vel")}
-        trwb0 = int(pre_meta["t_rhs_wo_bias"][0])
-        f_trwbT = pre_bigT[trwb0:trwb0 + f_p_max * f_s_len]
+        f_trwbT = pre_bigT[src0:src0 + f_p_max * f_s_len]
         f_scalars = (float(sub.warmstart_coefficient),
                      float(sub.contact_cfm_factor), float(sub.inv_dt),
                      float(sub.contact_erp_inv_dt),
                      float(sub.allowed_linear_error),
                      float(sub.max_corrective_velocity))
         f_counts = layout[2]
+        # everything rides component-major tables for the WHOLE substep
+        # loop — velocities/poses/impulses pack once per solve, not once
+        # per substep
+        f_incT = jnp.zeros((8, f_wg), jnp.float32).at[0:3, :n].set(inc.T)
+        f_comT = jnp.zeros((3, f_wg), jnp.float32).at[:, :n].set(
+            bodies.local_mprops.com.T)
+        if fused_rung0:
+            r0 = fused_rung0
+            from types import SimpleNamespace as _NS
 
-        def _pack_vt(vels):
-            vt = jnp.zeros((8, f_wg), jnp.float32)
-            vt = vt.at[0:3, :n].set(vels.linear.T)
-            return vt.at[3:6, :n].set(vels.angular.T)
-
-        def _unpack_vt(vt):
-            return Velocity(vt[0:3, :n].T, vt[3:6, :n].T)
+            res_ns = _NS(**{f: getattr(ss, f)[:r0] for f in
+                            ("dir_a", "tangent_a", "im_a", "im_b",
+                             "n_torque_a", "n_ii_torque_a", "n_torque_b",
+                             "n_ii_torque_b", "t_ii_torque_a",
+                             "t_ii_torque_b", "num_points")})
+            # static sides keep zero velocity: route them out of bounds
+            # (mode=drop), mirroring _build_sides' side_valid
+            va = ss.valid[:r0] & jnp.any(ss.im_a[:r0] != 0.0, -1)
+            vb = ss.valid[:r0] & jnp.any(ss.im_b[:r0] != 0.0, -1)
+            res_sel = jnp.concatenate([
+                jnp.where(va, ss.body_a[:r0], f_wg - 1),
+                jnp.where(vb, ss.body_b[:r0], f_wg - 1)])
 
         def substep_fused(_, carry):
-            vels, poses, n_imp_s, t_imp_s = carry
-            vels = Velocity(vels.linear + inc, vels.angular)
+            vt, poseP, nT, tT = carry
+            vt = vt + f_incT
             if fused_rung0:
                 # residue rows (color 0) can share bodies — no inverse
                 # permutation exists, so their warmstart applies here via
-                # a plain scatter-add on the scaled impulses (the kernel
-                # scales ALL rows; pre-scale just these for the deltas)
-                r0 = fused_rung0
-                from types import SimpleNamespace as _NS
-
-                res = _NS(**{f: getattr(ss, f)[:r0] for f in
-                             ("dir_a", "tangent_a", "im_a", "im_b",
-                              "n_torque_a", "n_ii_torque_a", "n_torque_b",
-                              "n_ii_torque_b", "t_ii_torque_a",
-                              "t_ii_torque_b", "num_points")})
-                d = _ws_deltas(res,
-                               n_imp_s[:r0] * sub.warmstart_coefficient,
-                               t_imp_s[:r0] * sub.warmstart_coefficient,
-                               ss.valid[:r0], f_p_max)
-                dim_v = vels.linear.shape[-1]
-                # static sides keep zero velocity: route them out of
-                # bounds (mode=drop), mirroring _build_sides' side_valid
-                va = ss.valid[:r0] & jnp.any(ss.im_a[:r0] != 0.0, -1)
-                vb = ss.valid[:r0] & jnp.any(ss.im_b[:r0] != 0.0, -1)
-                sel_r = jnp.concatenate([
-                    jnp.where(va, ss.body_a[:r0], n),
-                    jnp.where(vb, ss.body_b[:r0], n)])
-                lin = vels.linear.at[sel_r].add(d[:, :dim_v],
-                                                mode="drop")
-                ang = vels.angular.at[sel_r].add(d[:, dim_v:],
-                                                 mode="drop")
-                vels = Velocity(lin, ang)
-            poseP = jnp.concatenate(
-                [poses.rotation, poses.translation,
-                 poses.scale[:, None]], axis=-1)  # [N, 8]
-            poseT = jnp.zeros((8, f_wg), jnp.float32)
-            poseT = poseT.at[:, :n].set(poseP.T)
-            vt = _pack_vt(vels)
-            nT = n_imp_s.reshape(c_cap, f_p_max).T
-            tT = t_imp_s.reshape(c_cap, f_p_max * f_s_len).T
+                # a plain lane scatter-add on the scaled impulses (the
+                # kernel scales ALL rows; pre-scale just these)
+                d = _ws_deltas(
+                    res_ns,
+                    nT[:, :fused_rung0].T * sub.warmstart_coefficient,
+                    tT[:, :fused_rung0].T.reshape(
+                        fused_rung0, f_p_max, f_s_len)
+                    * sub.warmstart_coefficient,
+                    ss.valid[:fused_rung0], f_p_max)
+                # trash lane f_wg-1 absorbs static/invalid sides
+                vt = vt.at[0:6, res_sel].add(d.T).at[:, f_wg - 1].set(0.0)
             vt, nT, tT, n_woT = fused_substep1(
-                vt, nT, tT, f_winT, f_srcT, poseT, f_activeT, f_numpT,
+                vt, nT, tT, f_winT, f_srcT, poseP, f_activeT, f_numpT,
                 f_idx, f_inv, f_counts, windows=f_windows,
                 rung0=fused_rung0, p_max=f_p_max, s_len=f_s_len,
                 meta=packed_fields[1], src_meta=f_src_meta,
                 scalars=f_scalars)
-            vels = _unpack_vt(vt)
-            poses = integrate_velocity(poses, vels,
-                                       bodies.local_mprops.com, sub.dt)
-            vt = _pack_vt(vels)
+            poseP = fused_integrate(poseP, vt, f_comT, sub.dt)
             vt, nT, tT = fused_sweep(
                 vt, nT, tT, f_winT, f_activeT, f_numpT, 1.0, n_woT,
                 f_trwbT, f_idx, f_inv, f_counts, windows=f_windows,
                 rung0=fused_rung0, p_max=f_p_max, s_len=f_s_len,
                 meta=packed_fields[1])
-            vels = _unpack_vt(vt)
-            return (vels, poses, nT.T.reshape(n_imp_s.shape),
-                    tT.T.reshape(t_imp_s.shape))
+            return vt, poseP, nT, tT
 
     def substep_jacobi(_, carry):
         vels, poses, cons = carry
@@ -1537,10 +1524,31 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         else:
             n_imp_s = cons.n_impulse[idx_s0]
             t_imp_s = cons.t_impulse[idx_s0]
-        vels, poses, n_imp_s, t_imp_s = jax.lax.fori_loop(
-            0, params.num_solver_iterations,
-            substep_fused if use_fused2 else substep_gs,
-            (vels, bodies.poses, n_imp_s, t_imp_s))
+        if use_fused2:
+            from wgmath_tpu.geometry.sim import Sim as _Sim
+
+            vt0 = jnp.zeros((8, f_wg), jnp.float32)
+            vt0 = vt0.at[0:3, :n].set(vels.linear.T)
+            vt0 = vt0.at[3:6, :n].set(vels.angular.T)
+            pose_cols = jnp.concatenate(
+                [bodies.poses.rotation, bodies.poses.translation,
+                 bodies.poses.scale[:, None]], axis=-1)  # [N, 8]
+            poseP0 = jnp.zeros((8, f_wg), jnp.float32)
+            poseP0 = poseP0.at[:, :n].set(pose_cols.T)
+            nT0 = n_imp_s.reshape(c_cap, f_p_max).T
+            tT0 = t_imp_s.reshape(c_cap, f_p_max * f_s_len).T
+            vt, poseP, nT, tT = jax.lax.fori_loop(
+                0, params.num_solver_iterations, substep_fused,
+                (vt0, poseP0, nT0, tT0))
+            vels = Velocity(vt[0:3, :n].T, vt[3:6, :n].T)
+            poses = _Sim(poseP[0:4, :n].T, poseP[4:7, :n].T,
+                         poseP[7, :n])
+            n_imp_s = nT.T.reshape(n_imp_s.shape)
+            t_imp_s = tT.T.reshape(t_imp_s.shape)
+        else:
+            vels, poses, n_imp_s, t_imp_s = jax.lax.fori_loop(
+                0, params.num_solver_iterations, substep_gs,
+                (vels, bodies.poses, n_imp_s, t_imp_s))
         # unsort impulses once (next frame's warmstart source)
         if use_presorted:  # identity order: drop the padding rows
             n_imp, t_imp = n_imp_s[:c_cap], t_imp_s[:c_cap]
