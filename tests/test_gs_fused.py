@@ -288,3 +288,38 @@ def test_fused_builder_matches_reference():
                                    atol=1e-5)
         for f, (at, tail) in pmeta.items():
             assert meta[f] == (at, tuple(tail)), f
+
+
+def test_pipeline_gs_fused_regrow_path():
+    """Rung regrow mid-run: deliberately tiny initial windows force the
+    static layout to re-bucket (shape change across frames); the by-key
+    warmstart transfer must survive the capacity change and the pile must
+    keep its contacts."""
+    import dataclasses
+
+    from wgmath_tpu.pipeline import PipelineConfig, step_checked
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                         max_colors=12, gs_cmax=256, bp_slack=0.03,
+                         bp_algo="grid", manifold_points=1,
+                         gs_windows=(256,) * 12)
+    state = balls(160, dim=3)
+    for _ in range(25):
+        state, cfg = step_checked(state, params, cfg)
+    # flip to fused with UNDERSIZED windows: the first fused frame drops
+    # the per-color overflow, exports TRUE class counts, and step_checked
+    # regrows the rungs (a buffer-shape change across frames — the by-key
+    # warmstart transfer must survive the capacity change)
+    cfg_f = dataclasses.replace(cfg, gs_fused=True, gs_rung0=256,
+                                gs_windows=(16,) * 12)
+    shapes_seen = set()
+    for _ in range(8):
+        state, cfg_f = step_checked(state, params, cfg_f)
+        shapes_seen.add(cfg_f.gs_windows)
+    assert len(shapes_seen) >= 2, "rung regrow never fired"
+    tr = np.asarray(state.bodies.poses.translation)
+    assert np.isfinite(tr).all()
+    # the settled pile keeps a healthy contact count through the regrow
+    assert int(np.asarray(state.pair_count)[1]) > 100
