@@ -289,32 +289,57 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
                  f"cap={settle_cfg.pair_capacity}, maxvel={maxv:.2f}")
             if f >= 120 and maxv < calm_vel:
                 break
-    config = _dc.replace(settle_cfg, bp_slack=config.bp_slack)
-    # the slack-inflated pair list overruns the no-slack settle capacity;
-    # a few checked steps re-bucket and materialize the BP cache BEFORE
-    # timing (an overflowing timed step silently truncates pairs)
-    for _ in range(5):
-        state, config = step_checked(state, params, config)
-
-    # absolute timing of K chained steps inside ONE jit: slope timing has
-    # become unreliable on the tunnel, and the single dispatch amortizes
-    # the ~30 ms latency to ~0.6 ms/step (included, honestly)
+    # steady-state candidates, best first: the FUSED solver (whole sweep /
+    # build / warmstart+rhs / integration as Pallas kernels) falls back to
+    # the window-ladder path if its kernels fail to compile on this
+    # backend (tpu.dynamic_gather support is backend-dependent)
+    # the per-color window ladder seeds small HERE (not during settle —
+    # churn-phase class growth would thrash rung recompiles); the checked
+    # steps below grow each rung to its settled class size (+15%)
+    steady_base = _dc.replace(settle_cfg, bp_slack=config.bp_slack)
+    ladder = _dc.replace(steady_base,
+                         gs_windows=(256,) * steady_base.max_colors)
+    candidates = [
+        ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),
+        ("ladder", ladder),
+        ("uniform", steady_base),
+    ]
     K = 50
+    t = out = None
+    for name, cand in candidates:
+        try:
+            st, cfg = state, cand
+            # the slack-inflated pair list overruns the no-slack settle
+            # capacity; checked steps re-bucket and materialize the BP
+            # cache (and the fused layout's rungs) BEFORE timing
+            for _ in range(6):
+                st, cfg = step_checked(st, params, cfg)
+            st = jax.block_until_ready(st)
 
-    @jax.jit
-    def run_k(state):
-        def body(i, s):
-            return step(s, params, config)
-        s = jax.lax.fori_loop(0, K, body, state)
-        return s.bodies.poses.translation, s.pair_count
+            # absolute timing of K chained steps inside ONE jit: slope
+            # timing is unreliable on the tunnel; one dispatch amortizes
+            # the ~30 ms latency to ~0.6 ms/step (included, honestly)
+            @jax.jit
+            def run_k(state, cfg=cfg):
+                def body(i, s):
+                    return step(s, params, cfg)
+                s = jax.lax.fori_loop(0, K, body, state)
+                return s.bodies.poses.translation, s.pair_count
 
-    out = jax.block_until_ready(run_k(state))  # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        out = jax.block_until_ready(run_k(state))
-        ts.append(time.time() - t0)
-    t = min(ts) / K
+            out = jax.block_until_ready(run_k(st))  # compile + warm
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                out = jax.block_until_ready(run_k(st))
+                ts.append(time.time() - t0)
+            t = min(ts) / K
+            config = cfg
+            _log(f"physics steady path = {name}: {t * 1e3:.2f} ms/step")
+            break
+        except Exception as e:  # pragma: no cover - backend-dependent
+            _log(f"physics {name} path failed ({type(e).__name__}: "
+                 f"{str(e)[:200]}); falling back")
+    assert t is not None, "every physics steady-state path failed"
     counts = np.asarray(out[1])
     return {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
             "physics_pair_capacity": float(config.pair_capacity),
