@@ -156,3 +156,30 @@ def test_oracle_spherical_pendulum():
     assert np.abs(lengths - 1.0).max() < 1e-2
     # it actually swings (reaches below -0.5 in y within 120 frames)
     assert jax_tr[:, 1, 1].min() < -0.5
+
+
+def test_oracle_ball_drop_fused_path():
+    """The fused-solver path (gs_fused kernels) must track the independent
+    f64 oracle exactly like the ladder path does — physics quality, not
+    just ladder-equivalence. Same scene/tolerances as
+    test_oracle_ball_drop_and_rest, with the fused pipeline config
+    (bp_slack + pair-color cache gates it on)."""
+    import dataclasses
+
+    state, oracle = _scene([[0.0, 1.2, 0.0]], 0.5)
+    cfg = dataclasses.replace(CFG, bp_slack=0.03, gs_cmax=64,
+                              bp_algo="grid", gs_fused=True, gs_rung0=256,
+                              gs_windows=(256,) * CFG.max_colors)
+    params = SimParams()
+    op = OracleParams()
+    jax_tr, orc_tr = [], []
+    prev = None
+    for f in range(100):
+        state = step(state, params, cfg, warmstart=f > 0)
+        prev = oracle_step(oracle, op, prev_impulses=prev)
+        jax_tr.append(np.asarray(state.bodies.poses.translation))
+        orc_tr.append(np.stack([b.pos for b in oracle]))
+    jax_tr, orc_tr = np.stack(jax_tr), np.stack(orc_tr)
+    err = np.abs(jax_tr[:, 1] - orc_tr[:, 1]).max(axis=-1)
+    assert err.max() < 2e-3, (err.max(), err.argmax())
+    assert abs(jax_tr[-1, 1, 1] - orc_tr[-1, 1, 1]) < 1e-3
