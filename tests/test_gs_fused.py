@@ -323,3 +323,33 @@ def test_pipeline_gs_fused_regrow_path():
     assert np.isfinite(tr).all()
     # the settled pile keeps a healthy contact count through the regrow
     assert int(np.asarray(state.pair_count)[1]) > 100
+
+
+def test_pipeline_gs_fused_boxes_p4():
+    """4-point manifolds (cuboid stacks) through the fused kernels: the
+    builder/sweep/warmstart/rhs paths all loop over p_max — exercised at
+    p_max=4 here, matching the ladder step from a warmed state."""
+    import dataclasses
+
+    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.scenes.builders import boxes
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=1024, contact_capacity=512,
+                         max_colors=12, gs_cmax=256, bp_slack=0.03,
+                         bp_algo="grid", sat_pair_capacity=512,
+                         manifold_points=4, gs_windows=(256,) * 12)
+    state = boxes(48, dim=3)
+    for _ in range(30):
+        state, cfg = step_checked(state, params, cfg)
+    cfg_f = dataclasses.replace(cfg, gs_fused=True, gs_rung0=256)
+    s_lad = step(state, params, cfg, warmstart=True)
+    s_fus = step(state, params, cfg_f, warmstart=True)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.bodies.vels.linear),
+        np.asarray(s_lad.bodies.vels.linear), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_fus.bodies.poses.translation),
+        np.asarray(s_lad.bodies.poses.translation), rtol=1e-5, atol=1e-5)
+    assert (int(np.asarray(s_fus.pair_count)[1])
+            == int(np.asarray(s_lad.pair_count)[1]))
