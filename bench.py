@@ -301,6 +301,11 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
                          gs_windows=(256,) * steady_base.max_colors)
     candidates = [
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),
+        # same fused formulation lowered by XLA (wide lane gathers +
+        # inverse-permutation scatter) — for backends whose Mosaic lacks
+        # multi-vreg tpu.dynamic_gather (v5e / jax 0.9)
+        ("fused_xla", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
+                                  gs_fused_pallas=False)),
         ("ladder", ladder),
         ("uniform", steady_base),
     ]

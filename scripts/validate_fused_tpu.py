@@ -38,27 +38,41 @@ def small_correctness():
     for _ in range(30):
         state, cfg = step_checked(state, params, cfg)
     state = jax.block_until_ready(state)
-    cfg_f = dataclasses.replace(cfg, gs_fused=True, gs_rung0=256)
     s_lad = jax.block_until_ready(step(state, params, cfg, warmstart=True))
     bench._log("ladder step ok")
-    s_fus = jax.block_until_ready(step(state, params, cfg_f, warmstart=True))
-    bench._log("fused step COMPILED AND RAN on TPU")
-    dv = np.abs(np.asarray(s_fus.bodies.vels.linear)
-                - np.asarray(s_lad.bodies.vels.linear)).max()
-    dp = np.abs(np.asarray(s_fus.bodies.poses.translation)
-                - np.asarray(s_lad.bodies.poses.translation)).max()
-    bench._log(f"fused vs ladder: max |dv|={dv:.3e} |dp|={dp:.3e}")
-    assert dv < 1e-3 and dp < 1e-4, (dv, dp)
-    # multi-frame stability on device
-    sf, cf = s_fus, cfg_f
-    for _ in range(5):
-        sf, cf = step_checked(sf, params, cf)
-    assert np.isfinite(np.asarray(sf.bodies.poses.translation)).all()
-    bench._log("fused multi-frame ok")
-    return cfg_f
+    good = None
+    for name, cfg_f in (
+            ("fused[pallas]", dataclasses.replace(cfg, gs_fused=True,
+                                                  gs_rung0=256)),
+            ("fused[xla]", dataclasses.replace(cfg, gs_fused=True,
+                                               gs_rung0=256,
+                                               gs_fused_pallas=False))):
+        try:
+            s_fus = jax.block_until_ready(
+                step(state, params, cfg_f, warmstart=True))
+        except Exception as e:
+            bench._log(f"{name} FAILED to compile/run: "
+                       f"{type(e).__name__}: {str(e)[:160]}")
+            continue
+        bench._log(f"{name} step COMPILED AND RAN on TPU")
+        dv = np.abs(np.asarray(s_fus.bodies.vels.linear)
+                    - np.asarray(s_lad.bodies.vels.linear)).max()
+        dp = np.abs(np.asarray(s_fus.bodies.poses.translation)
+                    - np.asarray(s_lad.bodies.poses.translation)).max()
+        bench._log(f"{name} vs ladder: max |dv|={dv:.3e} |dp|={dp:.3e}")
+        assert dv < 1e-3 and dp < 1e-4, (dv, dp)
+        # multi-frame stability on device
+        sf, cf = s_fus, cfg_f
+        for _ in range(5):
+            sf, cf = step_checked(sf, params, cf)
+        assert np.isfinite(np.asarray(sf.bodies.poses.translation)).all()
+        bench._log(f"{name} multi-frame ok")
+        good = good or cfg_f
+    assert good is not None, "no fused variant ran on this backend"
+    return good
 
 
-def big_perf():
+def big_perf(fused_base):
     from profile_step import settled_state
     from profile_substep import time_k
 
@@ -75,7 +89,8 @@ def big_perf():
     # big seed would freeze in wasted rows
     mc = config.max_colors
     cfg_f = dataclasses.replace(config, gs_fused=True, gs_rung0=256,
-                                gs_windows=(256,) * mc)
+                                gs_windows=(256,) * mc,
+                                gs_fused_pallas=fused_base.gs_fused_pallas)
     st, cf = state, cfg_f
     for i in range(8):  # re-bucket rungs via the class-count export
         st, cf = step_checked(st, params, cf)
@@ -92,9 +107,9 @@ def big_perf():
 
 
 def main():
-    small_correctness()
+    good = small_correctness()
     if "--skip-10k" not in sys.argv:
-        big_perf()
+        big_perf(good)
 
 
 if __name__ == "__main__":

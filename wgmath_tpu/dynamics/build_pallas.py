@@ -254,7 +254,8 @@ def _build_pallas_call(aT, bT, nT, ptsT, distT, *, p_max, s_len, consts,
     )(aT, bT, nT, ptsT, distT)
 
 
-def build_constraints_fused(poses, vels, mprops, contacts, params):
+def build_constraints_fused(poses, vels, mprops, contacts, params,
+                            use_pallas: bool | None = None):
     """Drop-in for ``build_constraints`` (3D) that also returns the packed
     transposed field matrix: ``(cons, bigT, meta)``.
 
@@ -290,7 +291,9 @@ def build_constraints_fused(poses, vels, mprops, contacts, params):
     consts = (float(params.restitution), float(params.inv_dt),
               float(params.friction), float(params.contact_cfm_factor))
     meta_t = tuple(sorted((k, (a, tuple(t))) for k, (a, t) in meta.items()))
-    if on_tpu():
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    if use_pallas:
         bigT = _build_pallas_call(aT, bT, nT, ptsT, distT, p_max=p_max,
                                   s_len=s_len, consts=consts, meta_t=meta_t,
                                   k_all=k_all)

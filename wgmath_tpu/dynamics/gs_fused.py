@@ -169,13 +169,24 @@ def _sweep_color(c, off, rung, w_g, vt, n_imp, t_imp, winT, activeT, numpT,
         jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)], axis=1)
     # [6, 2*rung] deltas -> a zero-padded [8, Wg] table, then the inverse
     # permutation places each body's delta at its lane (trash lane = 0)
-    d_pad = jnp.zeros((ROWS, w_g), jnp.float32)
-    d_pad = jax.lax.dynamic_update_slice(d_pad, d12, (0, 0))
+    d_pad = _pad_table(d12, ROWS, w_g)
     inv8 = jnp.broadcast_to(inv_row, (ROWS, w_g))
     v_add = jnp.take_along_axis(d_pad, inv8, axis=1,
                                 mode="promise_in_bounds")
     return v_add, new_n.reshape(p_max, rung), new_t.reshape(
         p_max * s_len, rung)
+
+
+def _pad_table(x, rows, cols):
+    """Zero-pad [r, c] x to [rows, cols] at the top-left. Static shapes via
+    concatenate (Mosaic has no value-level dynamic_update_slice lowering)."""
+    r, c = x.shape
+    if c < cols:
+        x = jnp.concatenate([x, jnp.zeros((r, cols - c), x.dtype)], axis=1)
+    if r < rows:
+        x = jnp.concatenate([x, jnp.zeros((rows - r, cols), x.dtype)],
+                            axis=0)
+    return x
 
 
 def _quat_rot_cm(q, v):
@@ -224,8 +235,7 @@ def _ws_color(off, rung, w_g, n_imp, t_imp, winT, activeT, numpT, inv_row,
             d2a = d2a + f["t_ii_torque_b"][k, j] * timp
     d12 = jnp.concatenate([jnp.concatenate([d1l, d1a], axis=0),
                            jnp.concatenate([d2l, d2a], axis=0)], axis=1)
-    d_pad = jnp.zeros((ROWS, w_g), jnp.float32)
-    d_pad = jax.lax.dynamic_update_slice(d_pad, d12, (0, 0))
+    d_pad = _pad_table(d12, ROWS, w_g)
     inv8 = jnp.broadcast_to(inv_row, (ROWS, w_g))
     return jnp.take_along_axis(d_pad, inv8, axis=1,
                                mode="promise_in_bounds")

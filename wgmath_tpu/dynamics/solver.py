@@ -1069,7 +1069,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           cache_in=None,
           presorted: bool = False, gs_windows: tuple = (),
           fused: bool = False, fused_rung0: int = 0,
-          fused_class_counts=None):
+          fused_class_counts=None, fused_pallas: bool = True):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors, solve_cache)``
     — always six (solve_cache is None under jacobi). One
@@ -1110,7 +1110,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         from wgmath_tpu.dynamics.build_pallas import build_constraints_fused
 
         cons, pre_bigT, pre_meta = build_constraints_fused(
-            bodies.poses, bodies.vels, mprops, contacts, params)
+            bodies.poses, bodies.vels, mprops, contacts, params,
+            use_pallas=None if fused_pallas else False)
     else:
         cons = build_constraints(bodies.poses, bodies.vels, mprops,
                                  contacts, params)
@@ -1355,7 +1356,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 vt, nT, tT, f_winT, f_activeT, f_numpT,
                 cons_ns.cfm_factor[0], n_rhsT, t_rhsT, f_idx, f_inv,
                 layout[2], windows=f_windows, rung0=fused_rung0,
-                p_max=f_p_max, s_len=f_s_len, meta=packed_fields[1])
+                p_max=f_p_max, s_len=f_s_len, meta=packed_fields[1],
+                use_pallas=None if fused_pallas else False)
             vels = Velocity(vt[0:3, :n].T, vt[3:6, :n].T)
             return (vels, nT.T.reshape(ni.shape), tT.T.reshape(ti.shape))
         if not use_tail:
@@ -1479,13 +1481,17 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 f_idx, f_inv, f_counts, windows=f_windows,
                 rung0=fused_rung0, p_max=f_p_max, s_len=f_s_len,
                 meta=packed_fields[1], src_meta=f_src_meta,
-                scalars=f_scalars)
-            poseP = fused_integrate(poseP, vt, f_comT, sub.dt)
+                scalars=f_scalars,
+                use_pallas=None if fused_pallas else False)
+            poseP = fused_integrate(poseP, vt, f_comT, sub.dt,
+                                    use_pallas=None if fused_pallas
+                                    else False)
             vt, nT, tT = fused_sweep(
                 vt, nT, tT, f_winT, f_activeT, f_numpT, 1.0, n_woT,
                 f_trwbT, f_idx, f_inv, f_counts, windows=f_windows,
                 rung0=fused_rung0, p_max=f_p_max, s_len=f_s_len,
-                meta=packed_fields[1])
+                meta=packed_fields[1],
+                use_pallas=None if fused_pallas else False)
             return vt, poseP, nT, tT
 
     def substep_jacobi(_, carry):

@@ -154,6 +154,12 @@ class PipelineConfig:
     # sharding. Contacts are then compacted to a STATIC rung-padded layout
     # (contact_capacity is ignored; buffer = gs_rung0 + sum(gs_windows)).
     gs_fused: bool = False
+    # fused-path backend: True = Pallas kernels (VMEM-resident sweep).
+    # False = the same fused formulation lowered by XLA (wide lane
+    # gathers + inverse-permutation "scatter"): the fallback when Mosaic
+    # rejects tpu.dynamic_gather at multi-tile lane widths ("Multiple
+    # source vregs along gather dimension", observed on v5e / jax 0.9).
+    gs_fused_pallas: bool = True
     # static budget for the uncolored residue class (color 0, parked
     # unswept for a frame) in the fused layout; host-grown on overflow
     gs_rung0: int = 256
@@ -671,6 +677,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         fused=use_fused,
         fused_rung0=config.gs_rung0,
         fused_class_counts=fused_class_counts,
+        fused_pallas=config.gs_fused_pallas,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([
