@@ -253,8 +253,9 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     """Times the *settled* contact-rich regime: the pile is stepped until it
     rests (capacity re-buckets as contacts appear; a 23-body-tall lattice
     needs ~2.2 s of fall + relaxation, so settle runs until max |v| drops
-    under ``calm_vel``), then steady-state steps are slope-timed — the
-    honest hot path for benchmark config 5."""
+    under ``calm_vel``), then steady-state steps are timed absolutely
+    (K chained steps inside one jit, min of 3) — the honest hot path for
+    benchmark config 5."""
     from wgmath_tpu.dynamics import SimParams
     from wgmath_tpu.pipeline import (
         PipelineConfig,
