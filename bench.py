@@ -249,13 +249,84 @@ def bench_rays():
     return {"raycast_100k_mrays_s": n / t / 1e6}
 
 
+# bump to invalidate cached settled states after physics-affecting changes
+_SETTLE_VERSION = 1
+
+
+def _settled_ckpt_path(n_bodies, params, calm_vel):
+    import hashlib
+    key = repr((_SETTLE_VERSION, "ball_pit", n_bodies, params, calm_vel))
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f".settled_bench_{digest}.pkl")
+
+
+def _save_settled(path, state, config):
+    import pickle
+    leaves, treedef = jax.tree.flatten(state)
+    with open(path, "wb") as f:
+        pickle.dump({"treedef": treedef,
+                     "leaves": [np.asarray(x) for x in leaves],
+                     "config": config}, f)
+
+
+def _load_settled(path):
+    import pickle
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    leaves = [jnp.asarray(x) for x in blob["leaves"]]
+    return jax.tree.unflatten(blob["treedef"], leaves), blob["config"]
+
+
+def _fused_pallas_supported():
+    """~30 s capability probe: compile ONE tiny multi-vreg lane
+    ``dynamic_gather`` Pallas kernel — the exact Mosaic feature the fused
+    sweep needs ([8, 256] = 2 source vregs along the gather dim; v5e /
+    jax 0.9 rejects it with "Multiple source vregs along gather
+    dimension"). Probing first avoids the ~11 min the round-2 bench burned
+    compiling the full fused program only to hit the same rejection."""
+    from jax.experimental import pallas as pl
+
+    from wgmath_tpu.core.dispatch import pallas_interpret
+
+    if pallas_interpret():  # off-TPU: interpret mode runs anything
+        return True
+
+    def kern(t_ref, i_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(t_ref[...], i_ref[...], axis=1,
+                                         mode="promise_in_bounds")
+
+    try:
+        out = pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32))(
+                jnp.zeros((8, 256), jnp.float32),
+                jnp.zeros((8, 256), jnp.int32))
+        jax.block_until_ready(out)
+        return True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        _log(f"fused-pallas probe: unsupported on this backend "
+             f"({type(e).__name__}: {str(e)[:160]})")
+        return False
+
+
 def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
-    """Times the *settled* contact-rich regime: the pile is stepped until it
-    rests (capacity re-buckets as contacts appear; a 23-body-tall lattice
-    needs ~2.2 s of fall + relaxation, so settle runs until max |v| drops
-    under ``calm_vel``), then steady-state steps are timed absolutely
-    (K chained steps inside one jit, min of 3) — the honest hot path for
-    benchmark config 5."""
+    """Times the *settled* contact-rich regime — the honest hot path for
+    benchmark config 5.
+
+    The pile is stepped until it rests (capacity re-buckets as contacts
+    appear; a 23-body-tall lattice needs ~2.2 s of fall + relaxation, so
+    settle runs until max |v| drops under ``calm_vel``) — ONCE: the settled
+    state + grown config are checkpointed next to the compile cache, keyed
+    by (scene, n, params, version), so repeat runs skip the ~15 min settle.
+
+    Steady state then times EVERY solver candidate that compiles (K chained
+    steps inside one jit, min of 3), gates each on positional agreement
+    with the ladder reference (catches silent Mosaic miscomputes — round-2
+    finding: kernels can compile AND miscompute), and reports the fastest.
+    Candidate preference alone is never trusted: round 2 recorded 274.7
+    ms/step from a first-that-runs fused_xla while the ladder did ~23 ms.
+    Reference analog: the reference's fallback is correctness-triggered
+    (/root/reference/crates/wgrapier/src/pipeline.rs:646-655)."""
     from wgmath_tpu.dynamics import SimParams
     from wgmath_tpu.pipeline import (
         PipelineConfig,
@@ -265,54 +336,72 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     )
     from wgmath_tpu.scenes.builders import ball_pit
 
-    params = SimParams()
-    # walled pit: reaches a genuinely quiescent jammed state (the open
-    # `balls` scene scatters and rolls forever — no rolling resistance)
-    state = ball_pit(n_bodies)
-    config = PipelineConfig(
-        pair_capacity=4096, contact_capacity=2048, max_colors=24,
-        broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
-        bc_pair_capacity=4096, gs_tail_window=512,
-        manifold_points=auto_manifold_points(
-            state.shapes, 3, dynamic=np.asarray(state.bodies.is_dynamic())))
-    # settle WITHOUT the slack cache (see profile_step.settled_state): the
-    # churn-phase velocity inflation overflows grid budgets and bloats pair
-    # capacity; plain per-frame BP settles cleanly, then the cached-BP
-    # config takes over for the timed steady state.
     import dataclasses as _dc
-    settle_cfg = _dc.replace(config, bp_slack=0.0)
-    for f in range(settle_frames):
-        state, settle_cfg = step_checked(state, params, settle_cfg)
-        if f % 15 == 0:
-            maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
-            _log(f"physics settle frame {f}, "
-                 f"pairs={int(np.asarray(state.pair_count)[0])}, "
-                 f"cap={settle_cfg.pair_capacity}, maxvel={maxv:.2f}")
-            if f >= 120 and maxv < calm_vel:
-                break
-    # steady-state candidates, best first: the FUSED solver (whole sweep /
-    # build / warmstart+rhs / integration as Pallas kernels) falls back to
-    # the window-ladder path if its kernels fail to compile on this
-    # backend (tpu.dynamic_gather support is backend-dependent)
-    # the per-color window ladder seeds small HERE (not during settle —
-    # churn-phase class growth would thrash rung recompiles); the checked
-    # steps below grow each rung to its settled class size (+15%)
+
+    params = SimParams()
+    ckpt = _settled_ckpt_path(n_bodies, params, calm_vel)
+    if os.path.exists(ckpt):
+        state, settle_cfg = _load_settled(ckpt)
+        maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
+        _log(f"physics settled state loaded from {os.path.basename(ckpt)} "
+             f"(pairs={int(np.asarray(state.pair_count)[0])}, "
+             f"maxvel={maxv:.3f})")
+        config = _dc.replace(settle_cfg, bp_slack=0.02)
+    else:
+        # walled pit: reaches a genuinely quiescent jammed state (the open
+        # `balls` scene scatters and rolls forever — no rolling resistance)
+        state = ball_pit(n_bodies)
+        config = PipelineConfig(
+            pair_capacity=4096, contact_capacity=2048, max_colors=24,
+            broad_phase_block=512, gs_cmax=1024, bp_slack=0.02,
+            bc_pair_capacity=4096, gs_tail_window=512,
+            manifold_points=auto_manifold_points(
+                state.shapes, 3,
+                dynamic=np.asarray(state.bodies.is_dynamic())))
+        # settle WITHOUT the slack cache (see profile_step.settled_state):
+        # the churn-phase velocity inflation overflows grid budgets and
+        # bloats pair capacity; plain per-frame BP settles cleanly, then
+        # the cached-BP config takes over for the timed steady state.
+        settle_cfg = _dc.replace(config, bp_slack=0.0)
+        for f in range(settle_frames):
+            state, settle_cfg = step_checked(state, params, settle_cfg)
+            if f % 15 == 0:
+                maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
+                _log(f"physics settle frame {f}, "
+                     f"pairs={int(np.asarray(state.pair_count)[0])}, "
+                     f"cap={settle_cfg.pair_capacity}, maxvel={maxv:.2f}")
+                if f >= 120 and maxv < calm_vel:
+                    break
+        _save_settled(ckpt, jax.block_until_ready(state), settle_cfg)
+        _log(f"physics settled state saved to {os.path.basename(ckpt)}")
+
+    # Steady-state candidates. The per-color window ladder seeds small HERE
+    # (not during settle — churn-phase class growth would thrash rung
+    # recompiles); each candidate's checked warmup grows its rungs to the
+    # settled class sizes (+15%). Ladder FIRST: it is the correctness
+    # reference the other candidates are gated against.
     steady_base = _dc.replace(settle_cfg, bp_slack=config.bp_slack)
     ladder = _dc.replace(steady_base,
                          gs_windows=(256,) * steady_base.max_colors)
     candidates = [
+        ("ladder", ladder),
+        # FUSED solver (whole sweep / build / warmstart+rhs / integration
+        # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),
         # same fused formulation lowered by XLA (wide lane gathers +
-        # inverse-permutation scatter) — for backends whose Mosaic lacks
-        # multi-vreg tpu.dynamic_gather (v5e / jax 0.9)
+        # inverse-permutation scatter)
         ("fused_xla", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
                                   gs_fused_pallas=False)),
-        ("ladder", ladder),
         ("uniform", steady_base),
     ]
     K = 50
-    t = out = None
+    ref_pos = None  # ladder's end-of-run positions (correctness gate)
+    timed = {}  # name -> (t_per_step, out, cfg)
     for name, cand in candidates:
+        if name == "fused" and not _fused_pallas_supported():
+            _log("physics fused[pallas] skipped (probe: Mosaic lacks "
+                 "multi-vreg dynamic_gather)")
+            continue
         try:
             st, cfg = state, cand
             # the slack-inflated pair list overruns the no-slack settle
@@ -333,32 +422,74 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
                 return s.bodies.poses.translation, s.pair_count
 
             out = jax.block_until_ready(run_k(st))  # compile + warm
+
+            # correctness gate: all candidates advance the same physics
+            # from the same settled state (6 warmup + K timed steps), so
+            # end positions must agree with the ladder's to fp noise
+            # (~1e-3 m over 56 steps from reordered reductions). Catches
+            # compiles-but-miscomputes kernels (divergence → 1e13 / NaN)
+            # long before the 5e-2 m tolerance.
+            pos = np.asarray(out[0])
+            if not np.all(np.isfinite(pos)):
+                _log(f"physics {name} REJECTED: non-finite positions")
+                continue
+            if ref_pos is None:
+                ref_pos = pos
+            else:
+                err = float(np.max(np.abs(pos - ref_pos)))
+                if err > 5e-2:
+                    _log(f"physics {name} REJECTED: diverges from ladder "
+                         f"by {err:.3g} m after {K} steps")
+                    continue
+                _log(f"physics {name} matches ladder (max |dp| = {err:.2g})")
+
             ts = []
-            for _ in range(3):
+            for r in range(3):
                 t0 = time.time()
                 out = jax.block_until_ready(run_k(st))
                 ts.append(time.time() - t0)
+                # don't burn tunnel time on a clear loser
+                if r == 0 and timed and ts[0] / K > 3 * min(
+                        v[0] for v in timed.values()):
+                    break
             t = min(ts) / K
-            config = cfg
-            _log(f"physics steady path = {name}: {t * 1e3:.2f} ms/step")
-            break
+            timed[name] = (t, out, cfg)
+            _log(f"physics candidate {name}: {t * 1e3:.2f} ms/step")
         except Exception as e:  # pragma: no cover - backend-dependent
             _log(f"physics {name} path failed ({type(e).__name__}: "
-                 f"{str(e)[:200]}); falling back")
-    assert t is not None, "every physics steady-state path failed"
+                 f"{str(e)[:200]})")
+    assert timed, "every physics steady-state candidate failed"
+    winner = min(timed, key=lambda k: timed[k][0])
+    t, out, config = timed[winner]
+    _log(f"physics winner = {winner}: {t * 1e3:.2f} ms/step "
+         f"({1.0 / t:.1f} steps/s)")
     counts = np.asarray(out[1])
-    return {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
-            "physics_pair_capacity": float(config.pair_capacity),
-            "physics_pairs": float(counts[0]),
-            "physics_contacts": float(counts[1])}
+    res = {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
+           "physics_pair_capacity": float(config.pair_capacity),
+           "physics_pairs": float(counts[0]),
+           "physics_contacts": float(counts[1]),
+           "physics_winner": winner}
+    for name, (tc, _, _) in timed.items():
+        res[f"physics_ms_{name}"] = tc * 1e3
+    return res
 
 
-def main():
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated bench subset (gemm,gemv,geometry,"
+                         "fused,rays,physics); default = all")
+    ns = ap.parse_args(argv)
+    only = set(ns.only.split(",")) if ns.only else None
+
     results = {}
     fails = {}
     benches = [("gemm", bench_gemm), ("gemv", bench_gemv),
                ("geometry", bench_geometry), ("fused", bench_fused_graph),
                ("rays", bench_rays), ("physics", bench_physics)]
+    if only:
+        benches = [(n, f) for n, f in benches if n in only]
     for name, fn in benches:
         try:
             t0 = time.time()
@@ -393,7 +524,8 @@ def main():
         # per-target ratios alongside the geomean: a 10x raycast must not
         # mask a sub-1x physics number
         "ratios_vs_target": {k: round(v, 3) for k, v in ratios.items()},
-        "details": {k: round(v, 4) for k, v in results.items()},
+        "details": {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in results.items()},
     }
     if fails:
         line["failures"] = fails
