@@ -241,3 +241,200 @@ def test_ray_trimesh_heightfield():
     o2 = o + np.asarray([10.0, 0.0, 0.0], np.float32)
     t2 = np.asarray(ray_q.cast(shapes_b, poses_b, jnp.asarray(o2), jnp.asarray(d)))
     assert np.all(np.isinf(t2))
+
+
+# --- projection: full shape dispatch (round-3) ---------------------------------
+def _surface_samples_cone(hh, r, m=120):
+    """Dense sample of a cone's surface (side + base disk), apex +Y."""
+    th = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    ts = np.linspace(0, 1, m)
+    # side: apex (0,hh,0) → base circle
+    side = np.stack([
+        (t * r * np.cos(a), hh - t * 2 * hh, t * r * np.sin(a))
+        for t in ts for a in th])
+    disk = np.stack([
+        (t * r * np.cos(a), -hh, t * r * np.sin(a))
+        for t in ts for a in th])
+    return np.concatenate([side, disk]).astype(np.float32)
+
+
+def _surface_samples_cylinder(hh, r, m=120):
+    th = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    ts = np.linspace(0, 1, m)
+    side = np.stack([(r * np.cos(a), (2 * t - 1) * hh, r * np.sin(a))
+                     for t in ts for a in th])
+    caps = np.stack([(t * r * np.cos(a), s * hh, t * r * np.sin(a))
+                     for t in ts for a in th for s in (-1.0, 1.0)])
+    return np.concatenate([side, caps]).astype(np.float32)
+
+
+def _check_vs_samples(p, got_pt, samples, atol=6e-3):
+    """Projected distance must match the dense-sample min distance."""
+    got_d = np.linalg.norm(got_pt - p, axis=-1)
+    best = np.min(np.linalg.norm(samples[None] - p[:, None], axis=-1), -1)
+    np.testing.assert_allclose(got_d, best, atol=atol, rtol=1e-3)
+
+
+def _inside_cone(p, hh, r):
+    frac = (hh - p[:, 1]) / (2 * hh)  # 0 at apex, 1 at base
+    return ((p[:, 1] >= -hh) & (p[:, 1] <= hh)
+            & (np.hypot(p[:, 0], p[:, 2]) <= frac * r))
+
+
+def test_project_cone_vs_samples(rng):
+    hh, r = 0.8, 0.6
+    p = rng.normal(size=(300, 3)).astype(np.float32) * 1.2
+    res = proj_q.project_cone(jnp.asarray(p), hh, r, boundary=False)
+    inside = _inside_cone(p, hh, r)
+    np.testing.assert_array_equal(np.asarray(res.is_inside), inside)
+    # solid: outside points hit the surface, inside points stay put
+    got = np.asarray(res.point)
+    np.testing.assert_allclose(got[inside], p[inside], atol=1e-6)
+    samples = _surface_samples_cone(hh, r)
+    _check_vs_samples(p[~inside], got[~inside], samples)
+    # boundary: every output lies on the surface (min sample distance ~ 0)
+    resb = proj_q.project_cone(jnp.asarray(p), hh, r, boundary=True)
+    gb = np.asarray(resb.point)
+    d_surf = np.min(np.linalg.norm(samples[None] - gb[:, None], axis=-1), -1)
+    assert np.max(d_surf) < 2e-2
+    # boundary point is the closest surface point (inside rows included)
+    _check_vs_samples(p, gb, samples, atol=2e-2)
+
+
+def test_project_cylinder_vs_samples(rng):
+    hh, r = 0.7, 0.5
+    p = rng.normal(size=(300, 3)).astype(np.float32) * 1.2
+    res = proj_q.project_cylinder(jnp.asarray(p), hh, r, boundary=False)
+    inside = (np.abs(p[:, 1]) <= hh) & (np.hypot(p[:, 0], p[:, 2]) <= r)
+    np.testing.assert_array_equal(np.asarray(res.is_inside), inside)
+    got = np.asarray(res.point)
+    np.testing.assert_allclose(got[inside], p[inside], atol=1e-6)
+    samples = _surface_samples_cylinder(hh, r)
+    _check_vs_samples(p[~inside], got[~inside], samples)
+    resb = proj_q.project_cylinder(jnp.asarray(p), hh, r, boundary=True)
+    _check_vs_samples(p, np.asarray(resb.point), samples, atol=2e-2)
+
+
+def test_project_convex_matches_cuboid(rng):
+    """A cube-as-convex-polyhedron must project exactly like the cuboid
+    closed form (GJK outside, EPA boundary exit inside)."""
+    from wgmath_tpu.shapes.mesh import convex_polyhedron
+
+    he = np.asarray([0.6, 0.4, 0.8], np.float32)
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32) * he
+    n = 200
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    cvx = convex_polyhedron(corners)
+    shapes = ShapeSet(
+        jnp.tile(cvx.tag, (n,)), jnp.tile(cvx.params, (n, 1)),
+        cvx.vertices, cvx.indices, kinds=cvx.kinds)
+    poses = _identity_pose(n)
+
+    want = proj_q.project_cuboid(jnp.asarray(p), jnp.asarray(he),
+                                 boundary=False)
+    got = proj_q.project(shapes, poses, jnp.asarray(p), boundary=False)
+    np.testing.assert_array_equal(np.asarray(got.is_inside),
+                                  np.asarray(want.is_inside))
+    gd = np.linalg.norm(np.asarray(got.point) - p, axis=-1)
+    wd = np.linalg.norm(np.asarray(want.point) - p, axis=-1)
+    np.testing.assert_allclose(gd, wd, atol=2e-3)
+
+    wantb = proj_q.project_cuboid(jnp.asarray(p), jnp.asarray(he),
+                                  boundary=True)
+    gotb = proj_q.project(shapes, poses, jnp.asarray(p), boundary=True)
+    gdb = np.linalg.norm(np.asarray(gotb.point) - p, axis=-1)
+    wdb = np.linalg.norm(np.asarray(wantb.point) - p, axis=-1)
+    np.testing.assert_allclose(gdb, wdb, atol=2e-3)
+
+
+def test_project_trimesh_cube_surface(rng):
+    """Trimesh projection == closest point on the cube's boundary."""
+    from wgmath_tpu.shapes.mesh import trimesh
+
+    he = 0.5
+    v = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                  for sz in (-1, 1)], np.float32) * he
+    # 12 triangles of the cube (index into the (sx,sy,sz) lexicographic order)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],  # x faces
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],  # y faces
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],  # z faces
+    ], np.int32)
+    n = 150
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    ts = trimesh(v, f)
+    shapes = ShapeSet(jnp.tile(ts.tag, (n,)), jnp.tile(ts.params, (n, 1)),
+                      ts.vertices, ts.indices, ts.cluster_min,
+                      ts.cluster_max, kinds=ts.kinds)
+    got = proj_q.project(shapes, _identity_pose(n), jnp.asarray(p),
+                         boundary=True)
+    want = proj_q.project_cuboid(jnp.asarray(p),
+                                 jnp.full((3,), he, np.float32),
+                                 boundary=True)
+    gd = np.linalg.norm(np.asarray(got.point) - p, axis=-1)
+    wd = np.linalg.norm(np.asarray(want.point) - p, axis=-1)
+    np.testing.assert_allclose(gd, wd, atol=1e-4)
+    assert not np.any(np.asarray(got.is_inside))  # open-mesh contract
+
+
+def test_project_segment_triangle_world(rng):
+    """World dispatch for standalone SEGMENT / TRIANGLE colliders."""
+    n = 64
+    a = rng.normal(size=(n, 3)).astype(np.float32)
+    b = rng.normal(size=(n, 3)).astype(np.float32)
+    p = rng.normal(size=(n, 3)).astype(np.float32) * 2
+    segs = ShapeSet.segments(a, b)
+    got = proj_q.project(segs, _identity_pose(n), jnp.asarray(p))
+    want = proj_q.project_segment(*map(jnp.asarray, (p, a, b)))
+    np.testing.assert_allclose(np.asarray(got.point),
+                               np.asarray(want.point), atol=1e-5)
+
+    verts = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    tris = ShapeSet.triangles(verts)
+    got = proj_q.project(tris, _identity_pose(n), jnp.asarray(p))
+    want = proj_q.project_triangle(jnp.asarray(p), *(
+        jnp.asarray(verts[:, i]) for i in range(3)))
+    np.testing.assert_allclose(np.asarray(got.point),
+                               np.asarray(want.point), atol=1e-5)
+
+
+def test_project_world_cone_cylinder_posed(rng):
+    """Posed world-space round trip: project through a rotated pose equals
+    local projection conjugated by the pose."""
+    n = 100
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(n, 3)).astype(np.float32)
+    poses = Sim(jnp.asarray(q), jnp.asarray(t), jnp.ones((n,)))
+    p = rng.normal(size=(n, 3)).astype(np.float32) * 2
+
+    for maker, local_fn in (
+            (ShapeSet.cones, proj_q.project_cone),
+            (ShapeSet.cylinders, proj_q.project_cylinder)):
+        shapes = maker(np.full(n, 0.7, np.float32),
+                       np.full(n, 0.4, np.float32))
+        got = proj_q.project(shapes, poses, jnp.asarray(p), boundary=True)
+        from wgmath_tpu.geometry import sim as sim_ops
+        p_loc = sim_ops.inv_mul_pt(poses, jnp.asarray(p))
+        want_loc = local_fn(p_loc, 0.7, 0.4, boundary=True)
+        want = sim_ops.mul_pt(poses, want_loc.point)
+        np.testing.assert_allclose(np.asarray(got.point), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.is_inside),
+                                      np.asarray(want_loc.is_inside))
+
+
+def test_project_unhandled_kind_raises():
+    """Trace-time error instead of a silent wrong answer (round-2 weak #7):
+    3D-only tags must raise in a 2D dispatch."""
+    n = 4
+    params = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(1.0)
+    shapes = ShapeSet(jnp.full((n,), 3, jnp.int32), params,  # CONE
+                      jnp.zeros((0, 2), jnp.float32),
+                      jnp.zeros((0, 2), jnp.int32),
+                      kinds=frozenset((3,)))
+    rot = jnp.tile(jnp.asarray([0.0, 1.0]), (n, 1))  # rot2 (cos, sin)
+    poses = Sim(rot, jnp.zeros((n, 2)), jnp.ones((n,)))
+    with pytest.raises(ValueError, match="no projection kernel"):
+        proj_q.project(shapes, poses, jnp.zeros((n, 2)))
