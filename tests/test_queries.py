@@ -438,3 +438,50 @@ def test_project_unhandled_kind_raises():
     poses = Sim(rot, jnp.zeros((n, 2)), jnp.ones((n,)))
     with pytest.raises(ValueError, match="no projection kernel"):
         proj_q.project(shapes, poses, jnp.zeros((n, 2)))
+
+
+def test_ray_convex_matches_cuboid(rng):
+    """Convex-hull ray cast (over stored hull faces) == cuboid slab cast."""
+    from wgmath_tpu.shapes.mesh import convex_polyhedron
+
+    he = np.asarray([0.5, 0.8, 0.3], np.float32)
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32) * he
+    n = 256
+    cvx = convex_polyhedron(corners)
+    shapes = ShapeSet(jnp.tile(cvx.tag, (n,)), jnp.tile(cvx.params, (n, 1)),
+                      cvx.vertices, cvx.indices, cvx.cluster_min,
+                      cvx.cluster_max, kinds=cvx.kinds)
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 4
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    got = np.asarray(ray_q.cast(shapes, _identity_pose(n), jnp.asarray(o),
+                                jnp.asarray(d)))
+    want = np.asarray(ray_q.ray_cuboid(jnp.asarray(o), jnp.asarray(d),
+                                       jnp.asarray(he)))
+    both = np.isfinite(got) & np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-5)
+
+
+def test_ray_convex_trimesh_concat(rng):
+    """Mixed CONVEX + TRIMESH scene: concat rebases both shapes' face
+    ranges and the cast dispatch hits each through the shared buffer."""
+    from wgmath_tpu.shapes.mesh import convex_polyhedron, trimesh
+
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32) * 0.5
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    shapes = ShapeSet.concat(convex_polyhedron(corners),
+                             trimesh(corners, f))
+    n = shapes.num_shapes
+    poses = _identity_pose(n, trans=np.asarray([[0, 0, 0], [3, 0, 0]],
+                                               np.float32))
+    o = np.asarray([[0, 0, 5], [3, 0, 5]], np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    t = np.asarray(ray_q.cast(shapes, poses, jnp.asarray(o),
+                              jnp.asarray(d)))
+    np.testing.assert_allclose(t, 4.5, rtol=1e-4)

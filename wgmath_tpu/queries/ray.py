@@ -305,11 +305,18 @@ def cast(shapes: shp.ShapeSet, poses: Sim, origins: jax.Array,
                       ray_cylinder(o_loc, d_loc, p[:, 0], p[:, 1]), t)
         t = jnp.where(tag == shp.CONE,
                       ray_cone(o_loc, d_loc, p[:, 0], p[:, 1]), t)
-        if shp.TRIMESH in shapes.kinds:
+        mesh_like = shapes.kinds & {shp.TRIMESH, shp.CONVEX}
+        if mesh_like:
+            # CONVEX rays reuse the triangle scan over the hull faces the
+            # constructor stores (shapes/mesh.py convex_polyhedron) — the
+            # reference's convex shapes are support-mapped only, so this
+            # exceeds its ray surface
+            is_mesh = (tag == shp.TRIMESH) | (tag == shp.CONVEX)
             t_mesh = ray_trimesh(o_loc, d_loc, shapes,
                                  p[:, 2].astype(jnp.int32),
-                                 p[:, 3].astype(jnp.int32))
-            t = jnp.where(tag == shp.TRIMESH, t_mesh, t)
+                                 jnp.where(is_mesh, p[:, 3],
+                                           0.0).astype(jnp.int32))
+            t = jnp.where(is_mesh, t_mesh, t)
     # local t is world t because inv_mul_unit_vec preserves direction scale
     # only up to 1/pose.scale; rescale:
     t = t * poses.scale

@@ -103,18 +103,52 @@ def heightfield(heights: np.ndarray, scale_x: float = 1.0,
     return trimesh(verts, np.asarray(tris, np.int32))
 
 
+def _hull_faces(vertices: np.ndarray) -> np.ndarray:
+    """Outward-oriented hull triangles [F, 3] (host-side qhull; empty on
+    degenerate input — support/GJK still work from the raw vertices)."""
+    try:
+        from scipy.spatial import ConvexHull, QhullError
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        return np.zeros((0, 3), np.int32)
+    try:
+        hull = ConvexHull(np.asarray(vertices, np.float64))
+    except (QhullError, ValueError):  # coplanar / duplicate inputs
+        return np.zeros((0, 3), np.int32)
+    faces = hull.simplices.astype(np.int32)
+    # qhull simplices are not consistently wound: orient each so its
+    # geometric normal agrees with the qhull outward plane equation
+    va, vb, vc = (vertices[faces[:, i]] for i in range(3))
+    n_geom = np.cross(vb - va, vc - va)
+    flip = np.sum(n_geom * hull.equations[:, :3], axis=-1) < 0.0
+    faces[flip] = faces[flip][:, ::-1]
+    return faces
+
+
 def convex_polyhedron(vertices: np.ndarray) -> shp.ShapeSet:
     """One convex polyhedron collider from its (hull) vertices (3D) —
-    support-mapped, used by GJK/EPA (≙ wgparry convex_polyhedron.wgsl)."""
+    support-mapped, used by GJK/EPA (≙ wgparry convex_polyhedron.wgsl).
+
+    Hull faces (outward-wound triangles) are computed host-side and stored
+    in the shared index buffer (params[2:4] range, Morton-clustered like
+    trimesh so ``ShapeSet.concat``'s cluster invariant holds) — they feed
+    the CONVEX ray cast and polygonal-feature extraction."""
+    from wgmath_tpu.queries.mesh_accel import build_clusters
+
     vertices = np.asarray(vertices, np.float32)
+    faces = _hull_faces(vertices)
+    n_faces = len(faces)
+    indices, cmin, cmax = build_clusters(vertices, faces)
     he = (vertices.max(0) - vertices.min(0)) / 2.0
     center = (vertices.max(0) + vertices.min(0)) / 2.0
     he_sym = np.abs(center) + he
     params = np.zeros((1, shp.NUM_PARAMS), np.float32)
     params[0, 0] = 0
     params[0, 1] = len(vertices)
+    params[0, 2] = 0  # first_idx
+    params[0, 3] = n_faces  # real count; rows past it are cluster padding
     params[0, 4:7] = he_sym
     return shp.ShapeSet(
         jnp.asarray([shp.CONVEX], jnp.int32), jnp.asarray(params),
-        jnp.asarray(vertices), jnp.zeros((0, 3), jnp.int32),
+        jnp.asarray(vertices), jnp.asarray(indices.reshape(-1, 3)),
+        jnp.asarray(cmin), jnp.asarray(cmax),
         kinds=frozenset((shp.CONVEX,)))
