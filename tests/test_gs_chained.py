@@ -1,0 +1,127 @@
+"""Chained (scatter-free) GS sweep vs the ladder reference pass.
+
+The chained sweep (solver.build_gs_chain + gs_color_major_pass(chain=...))
+replaces each color's scatter-add with a contiguous static-offset stream
+write and gathers through a cached last-writer index chain. It must
+reproduce the ladder sweep up to one float re-association per velocity
+write (stream stores ``v + d`` where the ladder computes ``v + (v+d - v)``).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wgmath_tpu.dynamics import SimParams
+from wgmath_tpu.dynamics.solver import build_gs_chain, gs_color_major_pass
+
+from tests.test_gs_fused import _random_setup
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chained_sweep_matches_ladder_pass(seed):
+    (bodies, mprops, cons, ss, packed_fields, layout, windows, n_colors,
+     ctot, n) = _random_setup(seed=seed)
+    p_max, s_len = 1, 2
+    vels = bodies.vels
+    prev_n = jnp.asarray(
+        np.random.default_rng(seed + 7).uniform(0, 0.1, (ctot, p_max)),
+        jnp.float32)
+    prev_t = jnp.zeros((ctot, p_max, s_len), jnp.float32)
+
+    ref_v, ref_n, ref_t = gs_color_major_pass(
+        ss, vels, prev_n, prev_t, layout, jnp.int32(n_colors),
+        cmax=max(windows), dim=3, packed_fields=packed_fields,
+        windows=windows)
+
+    dyn_a = jnp.any(ss.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(ss.im_b != 0.0, axis=-1)
+    chain = build_gs_chain(ss.body_a, ss.body_b, dyn_a, dyn_b,
+                           layout[1], layout[2], windows, n)
+    out_v, out_n, out_t = gs_color_major_pass(
+        ss, vels, prev_n, prev_t, layout, jnp.int32(n_colors),
+        cmax=max(windows), dim=3, packed_fields=packed_fields,
+        windows=windows, chain=chain)
+
+    np.testing.assert_allclose(np.asarray(out_v.linear),
+                               np.asarray(ref_v.linear), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_v.angular),
+                               np.asarray(ref_v.angular), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(ref_n),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_chain_last_writer_untouched_bodies_identity():
+    (bodies, mprops, cons, ss, packed_fields, layout, windows, n_colors,
+     ctot, n) = _random_setup(seed=3)
+    dyn_a = jnp.any(ss.im_a != 0.0, axis=-1)
+    dyn_b = jnp.any(ss.im_b != 0.0, axis=-1)
+    src, last_writer = build_gs_chain(ss.body_a, ss.body_b, dyn_a, dyn_b,
+                                      layout[1], layout[2], windows, n)
+    lw = np.asarray(last_writer)
+    touched = set()
+    ba, bb = np.asarray(ss.body_a), np.asarray(ss.body_b)
+    da, db = np.asarray(dyn_a), np.asarray(dyn_b)
+    counts = np.asarray(layout[2])
+    offsets = np.asarray(layout[1])
+    for ci, w in enumerate(windows, start=1):
+        for s in range(min(w, int(counts[ci]))):
+            row = int(offsets[ci]) + s
+            if da[row]:
+                touched.add(int(ba[row]))
+            if db[row]:
+                touched.add(int(bb[row]))
+    for b in range(n):
+        if b not in touched:
+            assert lw[b] == b, (b, lw[b])
+        else:
+            assert lw[b] >= n, (b, lw[b])
+    assert np.asarray(src).shape == (2 * sum(windows),)
+
+
+def test_pipeline_gs_chained_matches_ladder():
+    """Wiring test: the chained pipeline path (cached chain in the solve
+    bundle) advances a settled pile the same way as the ladder path from
+    an identical warmed state, and stays coherent across cache hits,
+    misses, and regrows."""
+    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    base = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                          max_colors=12, gs_cmax=256, bp_slack=0.03,
+                          bp_algo="grid", manifold_points=1,
+                          gs_windows=(256,) * 12)
+    state = balls(160, dim=3)
+    cfg = base
+    for _ in range(30):
+        state, cfg = step_checked(state, params, cfg)
+    cfg_c = dataclasses.replace(cfg, gs_chained=True)
+
+    s_lad = step(state, params, cfg, warmstart=True)
+    s_chn = step(state, params, cfg_c, warmstart=True)
+    np.testing.assert_allclose(
+        np.asarray(s_chn.bodies.vels.linear),
+        np.asarray(s_lad.bodies.vels.linear), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_chn.bodies.poses.translation),
+        np.asarray(s_lad.bodies.poses.translation), rtol=1e-5, atol=1e-6)
+
+    # multi-frame: the chained path keeps its own caches coherent (the
+    # chain rides the solve bundle under the stable-keys cond)
+    sc, cc = s_chn, cfg_c
+    for _ in range(10):
+        sc, cc = step_checked(sc, params, cc)
+    assert np.isfinite(np.asarray(sc.bodies.poses.translation)).all()
+    # and still tracks the ladder run loosely after 10 more frames
+    sl, cl = s_lad, cfg
+    for _ in range(10):
+        sl, cl = step_checked(sl, params, cl)
+    np.testing.assert_allclose(
+        np.asarray(sc.bodies.poses.translation),
+        np.asarray(sl.bodies.poses.translation), rtol=1e-3, atol=1e-3)

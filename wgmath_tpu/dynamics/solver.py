@@ -797,10 +797,62 @@ def sort_solver_fields(cons: ContactConstraints, order_padded: jax.Array):
     return SimpleNamespace(**ns)
 
 
+def build_gs_chain(body_a_s, body_b_s, dyn_a_s, dyn_b_s, offsets, counts,
+                   windows: tuple, n: int):
+    """Last-writer index chain for the scatter-free ("chained") GS sweep.
+
+    The chained sweep keeps velocities in a STREAM: rows ``[0, n)`` are the
+    body table, and color ``c`` (1-based, window ``windows[c-1]``) writes its
+    updated a-side/b-side body velocities contiguously at the static rows
+    ``n + 2*W_c + [0, 2*w)`` where ``W_c = sum(windows[:c-1])``. That turns
+    the sweep's per-color scatter-add — the slowest TPU op in the solve
+    (~49 Mrow/s vs 135 Mrow/s gathers) — into a static-offset
+    ``dynamic_update_slice`` (≈ free), at the cost of gathering each color's
+    inputs through this precomputed chain instead of by body index.
+
+    ``src[2*W_c + s]`` is the stream row holding the most recent velocity of
+    color ``c`` slot ``s``'s body (a-side for ``s < w``, b-side at ``s - w``):
+    its body-table row if no earlier color touched it, else the earlier
+    color's static write slot. ``last_writer[b]`` is the stream row holding
+    body ``b``'s final post-sweep velocity. Only (active & dynamic) sides
+    advance the chain — same-color constraints touch disjoint dynamic
+    bodies (the coloring invariant), so each scatter below carries unique
+    indices. Recomputed only on contact-set changes; cached in the solve
+    bundle under the stable-keys ``lax.cond`` like the rest of the layout.
+
+    Exactness: within a color at most one constraint updates a given body,
+    and its written value ``v_gathered + delta`` equals the ladder's
+    ``packed.at[b].add(delta)`` up to one float re-association (the ladder
+    adds the delta to the same gathered value).
+    """
+    w_max = max(windows) if windows else 1
+    cur = jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
+                           jnp.zeros((w_max,), jnp.int32)])
+    srcs = []
+    w_off = 0
+    for ci, w in enumerate(windows, start=1):
+        start = offsets[ci]
+        slot = jnp.arange(w, dtype=jnp.int32)
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, w)
+        ba, bb = sl(body_a_s), sl(body_b_s)
+        active = slot < counts[ci]
+        wa = active & sl(dyn_a_s)
+        wb = active & sl(dyn_b_s)
+        srcs.append(cur[jnp.concatenate([ba, bb])])
+        pos_a = (n + 2 * w_off + slot).astype(jnp.int32)
+        trash = n + slot  # disjoint rows absorb masked writes → unique
+        cur = cur.at[jnp.where(wa, ba, trash)].set(
+            pos_a, mode="promise_in_bounds", unique_indices=True)
+        cur = cur.at[jnp.where(wb, bb, trash)].set(
+            pos_a + w, mode="promise_in_bounds", unique_indices=True)
+        w_off += w
+    return jnp.concatenate(srcs), cur[:n]
+
+
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                         layout, num_colors, *, cmax: int, dim: int,
                         shard=None, packed_fields=None, color_lo=1,
-                        windows=None):
+                        windows=None, chain=None):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
@@ -846,13 +898,22 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     ang2d = vels.angular.ndim == 1
     ang_v = vels.angular[:, None] if ang2d else vels.angular
     n_bodies = vels.linear.shape[0]
-    # scratch rows absorb padding/static writes so every scatter-add
-    # below carries unique indices — XLA's fast TPU scatter path (the
-    # duplicate-tolerant path serializes; it dominated the solve before)
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
-    packed0 = jnp.concatenate(
-        [packed0, jnp.zeros((2 * max_lw, dim + adim), packed0.dtype)])
+    if chain is not None:
+        # chained (scatter-free) sweep: the buffer is the velocity STREAM —
+        # body table + one static 2w-row segment per color (build_gs_chain)
+        assert windows is not None and axis_name is None
+        src_all, last_writer = chain
+        packed0 = jnp.concatenate(
+            [packed0,
+             jnp.zeros((2 * sum(windows), dim + adim), packed0.dtype)])
+    else:
+        # scratch rows absorb padding/static writes so every scatter-add
+        # below carries unique indices — XLA's fast TPU scatter path (the
+        # duplicate-tolerant path serializes; it dominated the solve before)
+        packed0 = jnp.concatenate(
+            [packed0, jnp.zeros((2 * max_lw, dim + adim), packed0.dtype)])
     # same-color constraints share no *dynamic* body (coloring predicate:
     # any(im != 0)); only dynamic-body writes keep their real index
     dyn_a_s = jnp.any(sorted_cons.im_a != 0.0, axis=-1)
@@ -867,7 +928,7 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     use_cm_kernel = (GS_CM_KERNEL and packed_fields is not None and dim == 3
                      and axis_name is None and on_tpu())
 
-    def one_color_lw(color, carry, lw):
+    def one_color_lw(color, carry, lw, w_off=0):
         slot = jnp.arange(lw, dtype=jnp.int32)
         packed, n_imp, t_imp = carry
         base = offsets[color]
@@ -888,11 +949,19 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                 **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
         prev_n = sl(n_imp)
         prev_t = sl(t_imp)
-        ba = sl(sorted_cons.body_a)
-        bb = sl(sorted_cons.body_b)
-        # ONE merged gather for both sides: gather/scatter cost on TPU is
-        # dominated by fixed per-op overhead, so 1x8192 rows beats 2x4096
-        pp = packed[jnp.concatenate([ba, bb])]
+        if chain is not None:
+            # gather through the cached last-writer chain (STATIC slice of
+            # the precomputed per-color src rows — see build_gs_chain)
+            src_c = jax.lax.slice_in_dim(src_all, 2 * w_off,
+                                         2 * w_off + 2 * lw)
+            pp = packed[src_c]
+        else:
+            ba = sl(sorted_cons.body_a)
+            bb = sl(sorted_cons.body_b)
+            # ONE merged gather for both sides: gather/scatter cost on TPU
+            # is dominated by fixed per-op overhead, so 1x8192 rows beats
+            # 2x4096
+            pp = packed[jnp.concatenate([ba, bb])]
         p1, p2 = pp[:lw], pp[lw:]
         v1l, v1a = p1[:, :dim], p1[:, dim:]
         v2l, v2a = p2[:, :dim], p2[:, dim:]
@@ -917,11 +986,23 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                 v2a, i2a = v2a[:, None], i2a[:, None]
             d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
             d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
+        d12 = jnp.concatenate([d1, d2])
+        if chain is not None:
+            # scatter-free: write BOTH sides' updated velocities to this
+            # color's static stream segment; rows whose side is static or
+            # inactive are never chained-from, so their (unmasked) values
+            # are harmless. Later colors read them via src_all.
+            n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
+                                                        start, 0)
+            t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
+                                                        start, 0)
+            packed = jax.lax.dynamic_update_slice_in_dim(
+                packed, pp + d12, n_bodies + 2 * w_off, 0)
+            return packed, n_imp, t_imp
         trash = n_bodies + slot  # disjoint scratch row per slot → unique
         ba_sel = jnp.where(active & sl(dyn_a_s), ba, trash)
         bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash + lw)
         sel2 = jnp.concatenate([ba_sel, bb_sel])
-        d12 = jnp.concatenate([d1, d2])
         if axis_name is None:
             n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
                                                         start, 0)
@@ -963,20 +1044,24 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         # backend). The compiled program grows with max_colors, but every
         # color now moves only ~its class size of gather/scatter rows.
         carry = (packed0, n_imp_s, t_imp_s)
+        w_off = 0
         for ci, w in enumerate(windows, start=1):
-            if ci < color_lo:
-                continue
-            carry = jax.lax.cond(
-                counts[ci] > 0,
-                lambda carry, ci=ci, w=w: one_color_lw(ci, carry, w),
-                lambda carry: carry,
-                carry)
+            if ci >= color_lo:
+                carry = jax.lax.cond(
+                    counts[ci] > 0,
+                    lambda carry, ci=ci, w=w, wo=w_off: one_color_lw(
+                        ci, carry, w, w_off=wo),
+                    lambda carry: carry,
+                    carry)
+            w_off += w
         packed, n_imp_s, t_imp_s = carry
     else:
         one_color = functools.partial(one_color_lw, lw=cmax // n_shards)
         packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
             color_lo, num_colors + 1, one_color, (packed0, n_imp_s, t_imp_s))
-    packed = packed[:n_bodies]
+    # chained mode: each body's final velocity lives at its last writer's
+    # stream row (identity for untouched bodies)
+    packed = packed[last_writer] if chain is not None else packed[:n_bodies]
     ang_out = packed[:, dim:]
     if ang2d:
         ang_out = ang_out[:, 0]
@@ -1069,7 +1154,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           cache_in=None,
           presorted: bool = False, gs_windows: tuple = (),
           fused: bool = False, fused_rung0: int = 0,
-          fused_class_counts=None, fused_pallas: bool = True):
+          fused_class_counts=None, fused_pallas: bool = True,
+          chained: bool = False):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors, solve_cache)``
     — always six (solve_cache is None under jacobi). One
@@ -1199,6 +1285,9 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         # and the per-frame field sort-gather disappears entirely
         use_presorted = bool(presorted and colors_in is not None
                              and shard is None)
+        # chained (scatter-free) sweep: windows-ladder mode only, unsharded
+        use_chained = bool(chained and not use_fused and gs_windows
+                           and shard is None)
         # fused sweep (gs_fused.py): STATIC rung-padded layout — contacts
         # compacted to compile-time per-color offsets upstream
         # (compact_contacts(static_windows=...)), the whole sweep one
@@ -1250,8 +1339,9 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             order_padded = layout[0]
             idxp = jnp.minimum(order_padded, cons.body_a.shape[0] - 1)
             padv = order_padded >= cons.body_a.shape[0]
-            sides = _build_sides(cons.body_a[idxp], cons.body_b[idxp],
-                                 dyn_a[idxp], dyn_b[idxp],
+            ba_p, bb_p = cons.body_a[idxp], cons.body_b[idxp]
+            dyn_a_p, dyn_b_p = dyn_a[idxp], dyn_b[idxp]
+            sides = _build_sides(ba_p, bb_p, dyn_a_p, dyn_b_p,
                                  jnp.where(padv, False, cons.valid[idxp]), n)
             if use_fused:
                 tables = build_fused_tables(
@@ -1259,11 +1349,16 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                     windows=tuple(gs_windows[:max_colors]),
                     rung0=fused_rung0, w_g=f_wg)
                 return layout + sides + tables
+            if use_chained:
+                chain_t = build_gs_chain(ba_p, bb_p, dyn_a_p, dyn_b_p,
+                                         layout[1], layout[2],
+                                         tuple(gs_windows), n)
+                return layout + sides + chain_t
             return layout + sides
 
         # layout + warmstart segments depend only on (pair keys, colors):
         # bitwise-stable contact sets reuse last frame's (sort-free)
-        bundle_len = 8 if use_fused else 6
+        bundle_len = 8 if (use_fused or use_chained) else 6
         if (cache_in is not None and same is not None
                 and len(cache_in) == bundle_len):
             fresh = _layout_sides()
@@ -1281,6 +1376,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         layout = bundle[:3]
         ws_sides = bundle[3:6]
         fused_tables = bundle[6:8] if use_fused else None
+        gs_chain = bundle[6:8] if use_chained else None
         solve_cache = bundle
         # num_colors must come from the layout actually swept: when `same`
         # reuses the cached bundle while `colors` was freshly recolored (a
@@ -1364,7 +1460,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             return gs_color_major_pass(
                 cons_ns, vels, ni, ti, layout, num_colors, cmax=cmax,
                 dim=dim_, shard=shard, packed_fields=packed_fields,
-                windows=gs_windows or None)
+                windows=gs_windows or None,
+                chain=gs_chain if use_chained else None)
         head_hi = jnp.minimum(num_colors, gs_split)
         vels, ni, ti = gs_color_major_pass(
             cons_ns, vels, ni, ti, layout, head_hi, cmax=cmax, dim=dim_,

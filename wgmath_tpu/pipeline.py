@@ -163,6 +163,13 @@ class PipelineConfig:
     # static budget for the uncolored residue class (color 0, parked
     # unswept for a frame) in the fused layout; host-grown on overflow
     gs_rung0: int = 256
+    # chained (scatter-free) GS sweep (solver.build_gs_chain): each color
+    # writes its updated body velocities CONTIGUOUSLY into a velocity
+    # stream at static offsets; later colors gather through a cached
+    # last-writer index chain. Removes the sweep's per-color scatter-add —
+    # the slowest TPU op in the solve (~49 Mrow/s vs 135 Mrow/s gathers).
+    # Requires gs_windows; unsharded, non-fused, non-jacobi.
+    gs_chained: bool = False
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -173,16 +180,26 @@ def _has_mesh(shapes: ShapeSet) -> bool:
 
 def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
     """Narrowest safe manifold width for this scene (host-side: reads the
-    concrete shape tags). Only cuboid-cuboid SAT (3D/2D) and polyline-cuboid
-    (2D) clipping emit multi-point manifolds; every other kernel emits
-    one-point manifolds per slot, and all solver passes cost ∝ width —
-    a balls-over-one-ground-slab scene runs its whole solve 4× leaner at
-    width 1. Pass the result as ``PipelineConfig.manifold_points``.
+    concrete shape tags). Cuboid-cuboid SAT (3D/2D), the support-mapped
+    PFM clip (3D: capsule/cylinder/cone/convex/segment stacks), and
+    polyline-cuboid (2D) clipping emit multi-point manifolds; every other
+    kernel emits one-point manifolds per slot, and all solver passes cost
+    ∝ width — a balls-over-one-ground-slab scene runs its whole solve 4×
+    leaner at width 1. Pass the result as ``PipelineConfig.manifold_points``.
 
     ``dynamic``: optional per-body dynamic mask — when every cuboid is
     static (ground + walls), cuboid-cuboid manifolds can never act and the
     width stays 1."""
-    from wgmath_tpu.shapes.shape import CUBOID, POLYLINE
+    from wgmath_tpu.shapes.shape import (
+        CAPSULE,
+        CONE,
+        CONVEX,
+        CUBOID,
+        CYLINDER,
+        POLYLINE,
+        SEGMENT,
+        TRIANGLE,
+    )
 
     tags = np.asarray(shapes.tag)
     cuboid = tags == CUBOID
@@ -190,7 +207,18 @@ def auto_manifold_points(shapes: ShapeSet, dim: int, dynamic=None) -> int:
     any_dyn_cuboid = (True if dynamic is None
                       else bool(np.any(cuboid & np.asarray(dynamic))))
     if dim == 3:
-        return 4 if (n_cuboids >= 2 and any_dyn_cuboid) else 1
+        if n_cuboids >= 2 and any_dyn_cuboid:
+            return 4
+        # support-mapped pairs route through the PFM manifold clip: flat
+        # resting needs the full width whenever a PFM-capable shape can
+        # move (or a dynamic cuboid can rest on a static one)
+        pfm = np.isin(tags, [CAPSULE, CYLINDER, CONE, CONVEX, SEGMENT,
+                             TRIANGLE])
+        any_dyn_pfm = (True if dynamic is None
+                       else bool(np.any(pfm & np.asarray(dynamic))))
+        if np.any(pfm) and (any_dyn_pfm or any_dyn_cuboid):
+            return 4
+        return 1
     polyline = tags == POLYLINE
     any_dyn_pl_or_cuboid = (True if dynamic is None else
                             bool(np.any((cuboid | polyline)
@@ -678,6 +706,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         fused_rung0=config.gs_rung0,
         fused_class_counts=fused_class_counts,
         fused_pallas=config.gs_fused_pallas,
+        chained=config.gs_chained,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([

@@ -32,19 +32,26 @@ class BackendConfig:
 
     solver: str = "tgs"  # "tgs" | "jacobi"
     bp_slack: float = 0.0  # temporal-coherence broad phase (0 = off)
+    gs_chained: bool = False  # scatter-free chained GS sweep
 
     def pipeline_config(self, pair_capacity=16384,
                         manifold_points=0) -> PipelineConfig:
+        extra = {}
+        if self.gs_chained:
+            # the chained sweep needs the per-color window ladder; seed
+            # small rungs and let step_checked re-bucket them
+            extra = dict(gs_chained=True, max_colors=16,
+                         gs_windows=(256,) * 16, gs_cmax=1024)
         return PipelineConfig(pair_capacity=pair_capacity,
                               use_jacobi=self.solver == "jacobi",
                               bp_slack=self.bp_slack,
-                              manifold_points=manifold_points)
+                              manifold_points=manifold_points, **extra)
 
 
 def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
               dump_every: int = 0, verify: bool = False,
               bp_slack: float = 0.0, record: str | None = None,
-              record_every: int = 1) -> RunStats:
+              record_every: int = 1, gs_chained: bool = False) -> RunStats:
     """Step a demo scene, printing per-phase stats (≙ Testbed::run loop +
     RunStats overlay). ``record`` writes a pose-trajectory npz for
     ``testbed.viewer`` (≙ the reference's graphics backend, rendered
@@ -56,7 +63,7 @@ def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
     state = SCENES[name]()
     params = SimParams.jacobi() if solver == "jacobi" else SimParams.tgs_soft()
     dim = state.bodies.poses.translation.shape[-1]
-    config = BackendConfig(solver, bp_slack).pipeline_config(
+    config = BackendConfig(solver, bp_slack, gs_chained).pipeline_config(
         manifold_points=auto_manifold_points(state.shapes, dim))
     stats = RunStats()
     timer = PhaseTimer(stats)
@@ -126,6 +133,9 @@ def main(argv=None) -> int:
                          "PATH.npz --out-dir frames --gif out.gif)")
     ap.add_argument("--record-every", type=int, default=1)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--gs-chained", action="store_true",
+                    help="scatter-free chained GS sweep (window-ladder "
+                         "layout; solver runtime switch)")
     ap.add_argument("--bp-slack", type=float, default=0.0,
                     help="broad-phase temporal-coherence slack (0 = off; "
                          "pairs are cached until a body's AABB drifts past "
@@ -161,7 +171,8 @@ def main(argv=None) -> int:
         stats = run_scene(name, frames=args.frames, solver=args.solver,
                           dump_every=args.dump_every, verify=args.verify,
                           bp_slack=args.bp_slack, record=args.record,
-                          record_every=args.record_every)
+                          record_every=args.record_every,
+                          gs_chained=args.gs_chained)
         if args.json:
             print(json.dumps({"scene": name, "phase_ms": stats.phase_ms,
                               "counters": stats.counters}))
