@@ -285,6 +285,24 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
         supported = (((tag_a <= shp.TRIANGLE) | (tag_a == shp.CONVEX))
                      & ((tag_b <= shp.TRIANGLE) | (tag_b == shp.CONVEX)))
         pfm = ~handled & supported & pairs.valid
+
+        def _pfm_manifold(n_p, p_p, d_p, ta, pa_, sa, tb, pb_, sb):
+            """Up-to-4-point manifold on top of the GJK/EPA witness
+            (≙ WgContactPfmPfm's support-face clipping,
+            contact_pfm_pfm.wgsl contact_manifold_pfm_pfm)."""
+            from wgmath_tpu.queries.pfm_manifold import pfm_manifold
+
+            pts_m, d_m, np_m = pfm_manifold(
+                ta, pa_, sa, tb, pb_, sb, n_p, p_p, d_p,
+                prediction_distance, vertices=shapes.vertices,
+                indices=shapes.indices)
+            k = min(4, p_max)
+            if k < 4:  # keep the k deepest points
+                neg_d, kidx = jax.lax.top_k(-d_m, k)
+                d_m = -neg_d
+                pts_m = jnp.take_along_axis(pts_m, kidx[..., None], axis=1)
+            return pts_m[:, :k], d_m[:, :k], jnp.minimum(np_m, k), k
+
         if pfm_capacity:
             sel, act, pfm_needed = _compact_mask(pfm, pfm_capacity)
             n_p, p_p, d_p = pfm_contact(
@@ -293,18 +311,37 @@ def narrow_phase(poses: Sim, shapes: shp.ShapeSet, pairs: PairList,
                 vertices=shapes.vertices)
             sel_drop = jnp.where(act, sel, c)
             normal_a = normal_a.at[sel_drop].set(n_p, mode="drop")
-            points_a = points_a.at[sel_drop, 0].set(p_p, mode="drop")
-            dist = dist.at[sel_drop, 0].set(d_p, mode="drop")
-            num_points = num_points.at[sel_drop].set(1, mode="drop")
+            if p_max > 1:
+                pts_m, d_m, np_m, k = _pfm_manifold(
+                    n_p, p_p, d_p, tag_a[sel], par_a[sel],
+                    _take_sim(poses, a[sel]), tag_b[sel], par_b[sel],
+                    _take_sim(poses, b[sel]))
+                points_a = points_a.at[sel_drop, :k].set(pts_m, mode="drop")
+                dist = dist.at[sel_drop, :k].set(d_m, mode="drop")
+                num_points = num_points.at[sel_drop].set(np_m, mode="drop")
+            else:
+                points_a = points_a.at[sel_drop, 0].set(p_p, mode="drop")
+                dist = dist.at[sel_drop, 0].set(d_p, mode="drop")
+                num_points = num_points.at[sel_drop].set(1, mode="drop")
         else:
             n_p, p_p, d_p = pfm_contact(tag_a, par_a, pose_a, tag_b, par_b,
                                         pose_b, mask=pfm,
                                         vertices=shapes.vertices)
             normal_a = jnp.where(pfm[:, None], n_p, normal_a)
-            points_a = points_a.at[:, 0].set(
-                jnp.where(pfm[:, None], p_p, points_a[:, 0]))
-            dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
-            num_points = jnp.where(pfm, 1, num_points)
+            if p_max > 1:
+                pts_m, d_m, np_m, k = _pfm_manifold(
+                    n_p, p_p, d_p, tag_a, par_a, pose_a, tag_b, par_b,
+                    pose_b)
+                points_a = points_a.at[:, :k].set(
+                    jnp.where(pfm[:, None, None], pts_m, points_a[:, :k]))
+                dist = dist.at[:, :k].set(
+                    jnp.where(pfm[:, None], d_m, dist[:, :k]))
+                num_points = jnp.where(pfm, np_m, num_points)
+            else:
+                points_a = points_a.at[:, 0].set(
+                    jnp.where(pfm[:, None], p_p, points_a[:, 0]))
+                dist = dist.at[:, 0].set(jnp.where(pfm, d_p, dist[:, 0]))
+                num_points = jnp.where(pfm, 1, num_points)
 
     if dim == 2 and has_pfm_only:
         # 2D support-mapped pairs (capsules): embed in 3D (rotation about z,
