@@ -385,6 +385,10 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
                          gs_windows=(256,) * steady_base.max_colors)
     candidates = [
         ("ladder", ladder),
+        # scatter-free chained sweep: per-color static stream writes +
+        # cached last-writer gathers + merged impulse matrix (validated
+        # exact on device 2026-08-19; ~1.15x the ladder at 10k)
+        ("chained", _dc.replace(ladder, gs_chained=True)),
         # FUSED solver (whole sweep / build / warmstart+rhs / integration
         # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),

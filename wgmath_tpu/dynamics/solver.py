@@ -928,9 +928,18 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     use_cm_kernel = (GS_CM_KERNEL and packed_fields is not None and dim == 3
                      and axis_name is None and on_tpu())
 
+    # windows mode (unsharded) carries the n/t impulses as ONE merged
+    # [C, p_max*(1+s_len)] matrix: each color pays one dynamic-slice + one
+    # update instead of two of each (the sweep is op-dispatch bound)
+    merge_imp = windows is not None and axis_name is None
+    p_flat = n_imp_s.shape[1]
+
     def one_color_lw(color, carry, lw, w_off=0):
         slot = jnp.arange(lw, dtype=jnp.int32)
-        packed, n_imp, t_imp = carry
+        if merge_imp:
+            packed, imp = carry
+        else:
+            packed, n_imp, t_imp = carry
         base = offsets[color]
         start = base + shard_off
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, lw)
@@ -947,8 +956,14 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         else:
             view = SimpleNamespace(
                 **{f: sl(getattr(sorted_cons, f)) for f in _VIEW_FIELDS})
-        prev_n = sl(n_imp)
-        prev_t = sl(t_imp)
+        if merge_imp:
+            win_i = sl(imp)
+            prev_n = jax.lax.slice_in_dim(win_i, 0, p_flat, axis=1)
+            prev_t = jax.lax.slice_in_dim(win_i, p_flat, None,
+                                          axis=1).reshape(lw, p_flat, s_len_)
+        else:
+            prev_n = sl(n_imp)
+            prev_t = sl(t_imp)
         if chain is not None:
             # gather through the cached last-writer chain (STATIC slice of
             # the precomputed per-color src rows — see build_gs_chain)
@@ -987,31 +1002,36 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
             d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
         d12 = jnp.concatenate([d1, d2])
+
+        def upd_imps():
+            if merge_imp:
+                new_i = jnp.concatenate([new_n, new_t.reshape(lw, -1)],
+                                        axis=1)
+                return (jax.lax.dynamic_update_slice_in_dim(imp, new_i,
+                                                            start, 0),)
+            return (jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
+                                                        start, 0),
+                    jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
+                                                        start, 0))
+
         if chain is not None:
             # scatter-free: write BOTH sides' updated velocities to this
             # color's static stream segment; rows whose side is static or
             # inactive are never chained-from, so their (unmasked) values
             # are harmless. Later colors read them via src_all.
-            n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
-                                                        start, 0)
-            t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
-                                                        start, 0)
             packed = jax.lax.dynamic_update_slice_in_dim(
                 packed, pp + d12, n_bodies + 2 * w_off, 0)
-            return packed, n_imp, t_imp
+            return (packed,) + upd_imps()
         trash = n_bodies + slot  # disjoint scratch row per slot → unique
         ba_sel = jnp.where(active & sl(dyn_a_s), ba, trash)
         bb_sel = jnp.where(active & sl(dyn_b_s), bb, trash + lw)
         sel2 = jnp.concatenate([ba_sel, bb_sel])
         if axis_name is None:
-            n_imp = jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
-                                                        start, 0)
-            t_imp = jax.lax.dynamic_update_slice_in_dim(t_imp, new_t,
-                                                        start, 0)
             # one merged scatter: a-side and b-side bodies within a color
             # are ALL distinct (disjoint dynamic bodies; trash rows split)
             packed = packed.at[sel2].add(d12, mode="promise_in_bounds",
                                          unique_indices=True)
+            return (packed,) + upd_imps()
         else:
             # every device owns a disjoint slice of the window: one psum of
             # the (dense-represented) deltas reproduces sequential GS
@@ -1039,22 +1059,36 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         return packed, n_imp, t_imp
 
     if windows is not None:
+        # merged sorted-space impulse matrix for the unrolled ladder
+        imp0 = jnp.concatenate(
+            [n_imp_s, t_imp_s.reshape(t_imp_s.shape[0], -1)], axis=1)
         # static unrolled ladder: color c sweeps a windows[c-1]-sized slice;
         # empty classes skip their body via lax.cond (verified cheap on this
         # backend). The compiled program grows with max_colors, but every
         # color now moves only ~its class size of gather/scatter rows.
-        carry = (packed0, n_imp_s, t_imp_s)
+        carry = (packed0, imp0)
         w_off = 0
         for ci, w in enumerate(windows, start=1):
             if ci >= color_lo:
-                carry = jax.lax.cond(
-                    counts[ci] > 0,
-                    lambda carry, ci=ci, w=w, wo=w_off: one_color_lw(
-                        ci, carry, w, w_off=wo),
-                    lambda carry: carry,
-                    carry)
+                if chain is not None:
+                    # unconditional: an empty color's stream rows are never
+                    # chained-from and its impulse window rewrites prev
+                    # values (active=False masks the math) — the cond's
+                    # per-color dispatch overhead buys nothing on the
+                    # settled hot path where every class is occupied
+                    carry = one_color_lw(ci, carry, w, w_off=w_off)
+                else:
+                    carry = jax.lax.cond(
+                        counts[ci] > 0,
+                        lambda carry, ci=ci, w=w, wo=w_off: one_color_lw(
+                            ci, carry, w, w_off=wo),
+                        lambda carry: carry,
+                        carry)
             w_off += w
-        packed, n_imp_s, t_imp_s = carry
+        packed, imp1 = carry
+        n_imp_s = jax.lax.slice_in_dim(imp1, 0, p_flat, axis=1)
+        t_imp_s = jax.lax.slice_in_dim(imp1, p_flat, None, axis=1).reshape(
+            t_imp_s.shape)
     else:
         one_color = functools.partial(one_color_lw, lw=cmax // n_shards)
         packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
