@@ -132,3 +132,54 @@ def test_2d_revolute_pendulum():
     t = np.asarray(state.bodies.poses.translation[1])
     assert abs(np.linalg.norm(t) - 1.0) < 0.02, t
     assert min_y < -0.7, min_y
+
+
+def test_2d_prismatic_slider_limits():
+    """2D prismatic chain link slides only along its diagonal axis and stops
+    at the travel limits (≙ joint_prismatic2.rs:40-49 behavior)."""
+    from wgmath_tpu.dynamics.joint import prismatic_joints
+
+    n = 2
+    shapes = ShapeSet.balls(jnp.asarray([0.2, 0.2]), dim=2)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1)),
+                               jnp.asarray([[0.0, 0.0], [0.0, -1.0]]))
+    mp = ball_local_mprops(jnp.asarray([0.2, 0.2]), dim=2,
+                           dynamic=jnp.asarray([False, True]))
+    bodies = Bodies(poses, Velocity.zero(n, 2), mp)
+    s = 2.0 ** -0.5
+    joints = prismatic_joints([0], [1], [[0.0, 0.0]], [[0.0, 1.0]],
+                              [[s, s]], limits=(-1.5, 1.5), dim=2,
+                              dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+    t = np.asarray(state.bodies.poses.translation[1])
+    # the anchor offset (0,-1) is fixed; displacement from it stays on the
+    # slide axis (perp component ~0) and within the 1.5 travel limit
+    d = t - np.asarray([0.0, -1.0])
+    perp = abs(-s * d[0] + s * d[1])
+    along = s * d[0] + s * d[1]
+    assert perp < 0.02, (t, perp)
+    assert -1.55 < along < 1.55, (t, along)
+    # gravity pulls the slider downhill to the low end of its travel
+    assert along < -1.3, along
+
+
+def test_2d_fixed_net_rigid():
+    """2D fixed-joint net: every link keeps its rest offset (the net moves
+    as one rigid assembly off the static left column)."""
+    from wgmath_tpu.scenes.builders import joint_net2
+
+    state = joint_net2(4, 4, joint="fixed")
+    params = SimParams()
+    cfg = CFG
+    p0 = np.asarray(state.bodies.poses.translation).copy()
+    for _ in range(60):
+        state, cfg = step_checked(state, params, cfg)
+    p = np.asarray(state.bodies.poses.translation)
+    # offsets between vertically adjacent bodies stay ~the rest offset
+    d = np.linalg.norm(p[1:] - p[:-1], axis=-1)
+    d0 = np.linalg.norm(p0[1:] - p0[:-1], axis=-1)
+    assert np.max(np.abs(d - d0)) < 0.06, np.max(np.abs(d - d0))

@@ -35,7 +35,8 @@ print("SCENE_OK")
 
 @pytest.mark.parametrize("scene", ["joint_revolute3", "primitives3",
                                    "polyline2", "boxes_and_balls2",
-                                   "joint_prismatic3"])
+                                   "joint_prismatic3", "joint_ball2",
+                                   "joint_prismatic2"])
 def test_scene_smoke(scene):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cache = os.path.join(root, ".jax_cache_cpu")

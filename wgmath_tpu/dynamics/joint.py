@@ -169,7 +169,12 @@ def _frames_at_anchor(poses_np, body_a, body_b, anchors_a, anchors_b, axes=None,
         else:
             rot = _quat_from_x_axis(jnp.asarray(axes, jnp.float32))
     else:
-        rot = jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1))
+        if axes is None:
+            rot = jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1))
+        else:
+            # rot2 [cos, sin] rotating +x onto the (unit) axis
+            ax = jnp.asarray(axes, jnp.float32)
+            rot = ax / jnp.linalg.norm(ax, axis=-1, keepdims=True)
     fa = Sim(rot, jnp.asarray(anchors_a, jnp.float32), jnp.ones((n,)))
     fb = Sim(rot, jnp.asarray(anchors_b, jnp.float32), jnp.ones((n,)))
     return fa, fb
@@ -210,13 +215,38 @@ def spherical_joints(body_a, body_b, anchors_a, anchors_b, *,
                           dynamic_mask=dynamic_mask)
 
 
-def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes, *,
+def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes=None, *,
                     limits=None, motor_vel=None, motor_damping: float = 1.0,
-                    dynamic_mask=None) -> JointSet:
+                    dim=3, dynamic_mask=None) -> JointSet:
     """Hinge about ``axes`` (joint-frame +x): locks everything except angular
     x (≙ RevoluteJoint). Optional rotation ``limits`` (min,max) and velocity
-    motor."""
+    motor. In 2D the hinge axis is implicit (out of plane — rapier2d's
+    RevoluteJoint): linear x/y locked, the single angular axis free."""
     n = len(body_a)
+    if dim == 2:
+        fa, fb = _frames_at_anchor(None, body_a, body_b, anchors_a,
+                                   anchors_b, dim=2)
+        locked = np.full(n, 0b011, np.int32)  # free: angular (bit 2)
+        kw = {}
+        if limits is not None:
+            kw["limit_axes"] = np.full(n, 1 << 2, np.int32)
+            lmin = np.full((n, 3), -MAX, np.float32)
+            lmax = np.full((n, 3), MAX, np.float32)
+            lmin[:, 2] = limits[0]
+            lmax[:, 2] = limits[1]
+            kw["limit_min"] = lmin
+            kw["limit_max"] = lmax
+        if motor_vel is not None:
+            kw["motor_axes"] = np.full(n, 1 << 2, np.int32)
+            tv = np.zeros((n, 3), np.float32)
+            tv[:, 2] = motor_vel
+            kw["motor_target_vel"] = tv
+            damp = np.zeros((n, 3), np.float32)
+            damp[:, 2] = motor_damping
+            kw["motor_damping"] = damp
+        return make_joint_set(body_a, body_b, fa, fb, locked_axes=locked,
+                              dynamic_mask=dynamic_mask, **kw)
+    assert axes is not None, "3D revolute joints need hinge axes"
     fa, fb = _frames_at_anchor(None, body_a, body_b, anchors_a, anchors_b,
                                axes=axes)
     locked = np.full(n, 0b110111, np.int32)  # free: angular x (bit 3)
@@ -244,18 +274,21 @@ def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes, *,
 
 
 def prismatic_joints(body_a, body_b, anchors_a, anchors_b, axes, *,
-                     limits=None, dynamic_mask=None) -> JointSet:
+                     limits=None, dim=3, dynamic_mask=None) -> JointSet:
     """Slider along ``axes``: everything locked except linear x
-    (≙ PrismaticJoint)."""
+    (≙ PrismaticJoint, 2D and 3D — the joint frame rotates +x onto the
+    slide axis in either dimension)."""
     n = len(body_a)
+    s = spatial_dim(dim)
     fa, fb = _frames_at_anchor(None, body_a, body_b, anchors_a, anchors_b,
-                               axes=axes)
-    locked = np.full(n, 0b111110, np.int32)  # free: linear x (bit 0)
+                               axes=axes, dim=dim)
+    # free: linear x (bit 0); everything else locked
+    locked = np.full(n, ((1 << s) - 1) & ~1, np.int32)
     kw = {}
     if limits is not None:
         kw["limit_axes"] = np.full(n, 1, np.int32)
-        lmin = np.full((n, 6), -MAX, np.float32)
-        lmax = np.full((n, 6), MAX, np.float32)
+        lmin = np.full((n, s), -MAX, np.float32)
+        lmax = np.full((n, s), MAX, np.float32)
         lmin[:, 0] = limits[0]
         lmax[:, 0] = limits[1]
         kw["limit_min"] = lmin

@@ -470,6 +470,95 @@ def capsules2(n: int = 100) -> PhysicsState:
                         ground_he=(12.0, 1.0))
 
 
+def joint_net2(nk: int = 12, ni: int = 12, *, joint: str = "revolute"
+               ) -> PhysicsState:
+    """2D net of balls linked by revolute or fixed joints
+    (≙ joint_ball2.rs:22-57 / joint_fixed2.rs:28-61, scaled down).
+
+    ``revolute``: the top row's outer fifths are static (the reference's
+    hanging-net anchors). ``fixed``: the left column is static and the net
+    cantilevers off it.
+    """
+    from wgmath_tpu.dynamics.joint import fixed_joints, revolute_joints
+
+    shift = 1.0
+    r = 0.4
+    n = nk * ni
+    idx = lambda k, i: k * ni + i  # noqa: E731 - grid index
+    pos = np.zeros((n, 2), np.float32)
+    dynamic = np.ones(n, bool)
+    body_a, body_b, anch_a, anch_b = [], [], [], []
+    for k in range(nk):
+        for i in range(ni):
+            pos[idx(k, i)] = (k * shift, -i * shift)
+            if joint == "revolute":
+                if i == 0 and (k < nk // 5 or k >= (4 * nk) // 5):
+                    dynamic[idx(k, i)] = False
+            elif k == 0:
+                dynamic[idx(k, i)] = False
+            if i > 0:  # vertical link: pivot at the parent's center
+                body_a.append(idx(k, i - 1))
+                body_b.append(idx(k, i))
+                anch_a.append([0.0, 0.0])
+                anch_b.append([0.0, shift])
+            if k > 0:  # horizontal link
+                body_a.append(idx(k - 1, i))
+                body_b.append(idx(k, i))
+                anch_a.append([0.0, 0.0])
+                anch_b.append([-shift, 0.0])
+    shapes = ShapeSet.balls(jnp.full((n,), r), dim=2)
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1)),
+                               jnp.asarray(pos))
+    mp = ball_local_mprops(jnp.full((n,), r), dim=2,
+                           dynamic=jnp.asarray(dynamic))
+    bodies = Bodies(poses, Velocity.zero(n, 2), mp)
+    if joint == "revolute":
+        joints = revolute_joints(body_a, body_b, anch_a, anch_b, dim=2,
+                                 dynamic_mask=dynamic)
+    else:
+        joints = fixed_joints(body_a, body_b, anch_a, anch_b, dim=2,
+                              dynamic_mask=dynamic)
+    return new_state(bodies, shapes, joints)
+
+
+def joint_prismatic2(chains: int = 4, num: int = 6) -> PhysicsState:
+    """2D prismatic chains: boxes sliding on alternating diagonal axes with
+    ±1.5 travel limits under a static head box (≙ joint_prismatic2.rs:20-52,
+    scaled down)."""
+    from wgmath_tpu.dynamics.joint import prismatic_joints
+
+    shift = 1.0
+    he = 0.4
+    per = num + 1
+    n = chains * per
+    pos = np.zeros((n, 2), np.float32)
+    dynamic = np.ones(n, bool)
+    body_a, body_b, anch_a, anch_b, axes = [], [], [], [], []
+    for c in range(chains):
+        x = c * shift * 4.0
+        head = c * per
+        pos[head] = (x, 0.0)
+        dynamic[head] = False
+        for i in range(num):
+            pos[head + 1 + i] = (x, -(i + 1) * shift)
+            body_a.append(head + i)
+            body_b.append(head + 1 + i)
+            anch_a.append([0.0, 0.0])
+            anch_b.append([0.0, shift])
+            s = 2.0 ** -0.5
+            axes.append([s, s] if i % 2 == 0 else [-s, s])
+    shapes = ShapeSet.cuboids(jnp.full((n, 2), he))
+    poses = sim_ops.from_parts(jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1)),
+                               jnp.asarray(pos))
+    mp = cuboid_local_mprops(jnp.full((n, 2), he),
+                             dynamic=jnp.asarray(dynamic))
+    bodies = Bodies(poses, Velocity.zero(n, 2), mp)
+    joints = prismatic_joints(body_a, body_b, anch_a, anch_b, axes,
+                              limits=(-1.5, 1.5), dim=2,
+                              dynamic_mask=dynamic)
+    return new_state(bodies, shapes, joints)
+
+
 SCENES.update({
     "capsules2": capsules2,
     "primitives3": primitives3,
@@ -478,4 +567,7 @@ SCENES.update({
     "polyline2": polyline2,
     "joint_fixed3": lambda: joint_chain(8, joint="fixed"),
     "joint_prismatic3": lambda: joint_chain(6, joint="prismatic"),
+    "joint_ball2": lambda: joint_net2(12, 12, joint="revolute"),
+    "joint_fixed2": lambda: joint_net2(8, 8, joint="fixed"),
+    "joint_prismatic2": joint_prismatic2,
 })
