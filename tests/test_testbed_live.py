@@ -1,0 +1,68 @@
+"""Live-viewer tests (headless): the interactive loop's state machine —
+advance, pause, runtime solver/backend switch, reset — without a display
+(≙ the reference testbed's ui.rs backend picker semantics)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+
+from wgmath_tpu.testbed.live import LiveViewer
+
+
+def _finite(v):
+    return np.all(np.isfinite(np.asarray(v.state.bodies.poses.translation)))
+
+
+def test_live_viewer_switches_backends():
+    v = LiveViewer("balls2", pair_capacity=4096)
+    for _ in range(3):
+        v.advance()
+    assert v.frame == 3 and _finite(v)
+    assert v.backend.solver == "tgs"
+
+    # runtime solver switch (≙ ui.rs TGS <-> Jacobi): same state, new config
+    v.on_key("t")
+    assert v.backend.solver == "jacobi"
+    v.advance()
+    assert v.frame == 4 and _finite(v)
+
+    # chained-sweep backend variant (forces solver back to tgs)
+    v.on_key("c")
+    assert v.backend.gs_chained and v.backend.solver == "tgs"
+    v.advance()
+    assert _finite(v)
+
+    # pause gates advance via the key handler; 'n' single-steps
+    v.on_key(" ")
+    assert v.paused
+    f = v.frame
+    v.on_key("n")
+    assert v.frame == f + 1
+    v.on_key(" ")
+    assert not v.paused
+
+    # reset rebuilds the scene at frame 0
+    v.on_key("r")
+    assert v.frame == 0 and _finite(v)
+
+    # status line carries the overlay facts (mode, frame, pair count)
+    v.advance()
+    s = v.status()
+    assert "tgs+chained" in s and "frame 1" in s and "pairs" in s
+
+    v.on_key("q")
+    assert v.closed
+
+
+def test_live_viewer_draws_headless():
+    import matplotlib.pyplot as plt
+
+    v = LiveViewer("balls2", pair_capacity=4096, frames=2)
+    v.advance()
+    fig = plt.figure()
+    ax = fig.add_subplot(111)
+    v.draw(fig, ax)  # Agg canvas: draw must not require a window
+    assert "balls2" in ax.get_title(loc="left")
+    plt.close(fig)

@@ -133,6 +133,10 @@ def main(argv=None) -> int:
                          "PATH.npz --out-dir frames --gif out.gif)")
     ap.add_argument("--record-every", type=int, default=1)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--live", action="store_true",
+                    help="interactive matplotlib window (≙ the reference's "
+                         "kiss3d+egui testbed): live scatter, runtime "
+                         "solver/backend switch on 't'/'c', pause on space")
     ap.add_argument("--gs-chained", action="store_true",
                     help="scatter-free chained GS sweep (window-ladder "
                          "layout; solver runtime switch)")
@@ -167,6 +171,15 @@ def main(argv=None) -> int:
         print(f"unknown scene(s): {', '.join(unknown)}", file=sys.stderr)
         print(f"available: {', '.join(SCENES)}", file=sys.stderr)
         return 2
+    if args.live:
+        from wgmath_tpu.testbed.live import LiveViewer
+
+        stats = LiveViewer(names[0], solver=args.solver,
+                           bp_slack=args.bp_slack,
+                           gs_chained=args.gs_chained,
+                           frames=args.frames).run()
+        print(stats.summary())
+        return 0
     for name in names:
         stats = run_scene(name, frames=args.frames, solver=args.solver,
                           dump_every=args.dump_every, verify=args.verify,
