@@ -128,6 +128,12 @@ class PipelineConfig:
     # key match; greedily color up to this many new pairs sequentially. More
     # churn than this (or regrown knobs) falls back to the full recolor.
     bp_recolor_cap: int = 128
+    # Luby claim rounds per color class on the (rare) full-recolor path.
+    # More rounds densify each class toward a maximal independent set →
+    # fewer classes → a shorter sweep ladder; every steady-state frame pays
+    # sweep cost ∝ classes while the recolor itself is amortized over the
+    # BP-cache lifetime.
+    bp_claim_rounds: int = 4
     # incremental BP repair: when 1..bp_repair_cap bodies escape their
     # inflated reference boxes, only their pair rows are recomputed (one
     # [E, N] brute pass against the cached reference boxes) and merged into
@@ -410,6 +416,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             return color_pairs(p.body_a, p.body_b, p.valid,
                                dyn[p.body_a], dyn[p.body_b], n_bodies,
                                max_colors=config.max_colors,
+                               claim_rounds=config.bp_claim_rounds,
                                class_cap=config.gs_cmax)
 
         if reuse is None:
@@ -521,6 +528,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             lambda: color_pairs(p.body_a, p.body_b, p.valid,
                                 dyn_mask[p.body_a], dyn_mask[p.body_b],
                                 n_bodies, max_colors=config.max_colors,
+                                claim_rounds=config.bp_claim_rounds,
                                 class_cap=config.gs_cmax))
         return p, (r0, r1), (cols_out, jnp.int32(config.gs_cmax),
                              jnp.int32(config.max_colors))
