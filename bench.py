@@ -342,6 +342,13 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     ckpt = _settled_ckpt_path(n_bodies, params, calm_vel)
     if os.path.exists(ckpt):
         state, settle_cfg = _load_settled(ckpt)
+        # drop the checkpointed BP cache: its coloring dates from the churny
+        # settle phase (24 occupied classes); a fresh steady-state recolor
+        # occupies ~17 fuller classes → a shorter, cheaper sweep ladder
+        # (measured 23.4 -> 22.3 ms/step chained). One full BP per candidate
+        # warmup pays for it.
+        state = _dc.replace(state, bp_pairs=None, bp_ref=None,
+                            bp_colors=None, solve_cache=None)
         maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
         _log(f"physics settled state loaded from {os.path.basename(ckpt)} "
              f"(pairs={int(np.asarray(state.pair_count)[0])}, "

@@ -125,3 +125,31 @@ def test_pipeline_gs_chained_matches_ladder():
     np.testing.assert_allclose(
         np.asarray(sc.bodies.poses.translation),
         np.asarray(sl.bodies.poses.translation), rtol=1e-3, atol=1e-3)
+
+
+def test_window_prune_matches_unpruned():
+    """Trailing zero rungs (step_checked's prune past the last occupied
+    class) must not change the physics: a pruned ladder and the same ladder
+    with 256-row floor rungs produce identical steps (empty classes are
+    no-ops either way)."""
+    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.scenes.builders import balls
+
+    state = balls(300)
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=8192, max_colors=8, gs_cmax=512,
+                         broad_phase_block=256, bp_slack=0.02,
+                         gs_windows=(256,) * 8, gs_chained=True)
+    for _ in range(6):
+        state, cfg = step_checked(state, params, cfg)
+    assert 0 in cfg.gs_windows, cfg.gs_windows  # prune actually happened
+    unpruned = dataclasses.replace(
+        cfg, gs_windows=tuple(w or 256 for w in cfg.gs_windows))
+    out_p = step(state, params, cfg)
+    out_u = step(state, params, unpruned)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.bodies.poses.translation),
+        np.asarray(out_u.bodies.poses.translation))
+    np.testing.assert_array_equal(
+        np.asarray(out_p.bodies.vels.linear),
+        np.asarray(out_u.bodies.vels.linear))

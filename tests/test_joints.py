@@ -183,3 +183,36 @@ def test_2d_fixed_net_rigid():
     d = np.linalg.norm(p[1:] - p[:-1], axis=-1)
     d0 = np.linalg.norm(p0[1:] - p0[:-1], axis=-1)
     assert np.max(np.abs(d - d0)) < 0.06, np.max(np.abs(d - d0))
+
+
+def test_spherical_swing_cone_limit():
+    """Coupled angular limit (swing cone): a ball-jointed pendulum released
+    horizontally may not swing past the 35-degree cone about the anchor
+    frame's +x (the reference stubs limit_angular_coupled out;
+    joint_constraint_builder.wgsl:334-348)."""
+    from wgmath_tpu.geometry import quat
+
+    bodies, shapes = _two_ball_world([1.0, 0.0, 0.0])
+    half = np.deg2rad(35.0)
+    joints = spherical_joints([0], [1], [[0.0, 0.0, 0.0]],
+                              [[-1.0, 0.0, 0.0]], swing_limit=half,
+                              dynamic_mask=np.asarray([False, True]))
+    state = new_state(bodies, shapes, joints)
+    params = SimParams()
+    cfg = CFG
+    max_swing = 0.0
+    for _ in range(120):
+        state, cfg = step_checked(state, params, cfg)
+        # swing angle = angle between the anchor frame's +x (world x: the
+        # static anchor never rotates) and the pendulum's joint frame +x
+        q = np.asarray(state.bodies.poses.translation[1])
+        # the anchor point is body 0 at the origin; frame2's +x in world =
+        # direction from the pivot to the bob (anchor_b = -x in b's frame)
+        d = q / max(np.linalg.norm(q), 1e-9)
+        max_swing = max(max_swing, float(np.arccos(np.clip(d[0], -1, 1))))
+    # released at 90 deg (horizontal = x axis IS the frame axis: swing 0)...
+    # gravity pulls -y, so the bob tries to hang at 90 deg swing; the cone
+    # must stop it near 35 deg (soft-constraint overshoot allowed)
+    assert max_swing < half + np.deg2rad(8.0), np.rad2deg(max_swing)
+    # and it must actually have swung into the limit, not frozen
+    assert max_swing > np.deg2rad(25.0), np.rad2deg(max_swing)

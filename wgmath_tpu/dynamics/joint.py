@@ -206,13 +206,27 @@ def fixed_joints(body_a, body_b, anchors_a, anchors_b, *, dim=3,
 
 
 def spherical_joints(body_a, body_b, anchors_a, anchors_b, *,
-                     dynamic_mask=None) -> JointSet:
-    """Ball-and-socket: linear axes locked, rotation free (≙ SphericalJoint)."""
+                     swing_limit=None, dynamic_mask=None) -> JointSet:
+    """Ball-and-socket: linear axes locked, rotation free (≙ SphericalJoint).
+
+    ``swing_limit``: optional cone half-angle (radians) about the joint
+    frame's +x — a COUPLED angular limit over the y/z angular axes (the
+    reference stubs this out; implemented here)."""
     n = len(body_a)
     fa, fb = _frames_at_anchor(None, body_a, body_b, anchors_a, anchors_b)
+    kw = {}
+    if swing_limit is not None:
+        kw["coupled_axes"] = np.full(n, 0b110000, np.int32)
+        kw["limit_axes"] = np.full(n, 1 << 4, np.int32)
+        lmin = np.full((n, 6), -MAX, np.float32)
+        lmax = np.full((n, 6), MAX, np.float32)
+        lmin[:, 4] = -swing_limit
+        lmax[:, 4] = swing_limit
+        kw["limit_min"] = lmin
+        kw["limit_max"] = lmax
     return make_joint_set(body_a, body_b, fa, fb,
                           locked_axes=np.full(n, 0b000111, np.int32),
-                          dynamic_mask=dynamic_mask)
+                          dynamic_mask=dynamic_mask, **kw)
 
 
 def revolute_joints(body_a, body_b, anchors_a, anchors_b, axes=None, *,
@@ -570,20 +584,52 @@ def build_joint_constraints(jset: JointSet, poses: Sim,
         put(9 + i, act, lj, cmat1_basis[..., :, i], cmat2_basis[..., :, i],
             r_bias, zeros, jnp.full((j,), cfm_coeff_j), zeros, -MAX, MAX)
 
+    ang_coupled_mask = coupled & 0b111000
+    has_ang_coupling = ang_coupled_mask != 0
+    # first coupled angular axis id as 0..2 (count trailing zeros, bits 3..5)
+    fca = jnp.where((ang_coupled_mask & 0b001000) != 0, 0,
+                    jnp.where((ang_coupled_mask & 0b010000) != 0, 1, 2))
+
     for i in range(3):  # angular limits → slots 12..14
         bit = 1 << (3 + i)
-        act = ((limit_mask & ~coupled) & bit) != 0
+        per_axis = ((limit_mask & ~coupled) & bit) != 0
+        is_coupled_slot = has_ang_coupling & (fca == i) & \
+            ((limit_mask & ang_coupled_mask) != 0)
         s_min = jnp.sin(jset.limit_min[:, 3 + i] * 0.5)
         s_max = jnp.sin(jset.limit_max[:, 3 + i] * 0.5)
         s_ang = ang_err[:, i]
         min_en = s_ang <= s_min
         max_en = s_max <= s_ang
-        aj = ang_basis[..., :, i]
-        r_bias = (jnp.maximum(s_ang - s_max, 0.0)
-                  - jnp.maximum(s_min - s_ang, 0.0)) * erp_inv_dt
-        put(12 + i, act, zeros3, aj, aj, r_bias, zeros,
-            jnp.full((j,), cfm_coeff_j), zeros,
-            jnp.where(min_en, -MAX, 0.0), jnp.where(max_en, MAX, 0.0))
+        aj_axis = ang_basis[..., :, i]
+        r_bias_axis = (jnp.maximum(s_ang - s_max, 0.0)
+                       - jnp.maximum(s_min - s_ang, 0.0)) * erp_inv_dt
+
+        # coupled angular limit (swing cone, max side only): the joint-space
+        # error restricted to the coupled angular subspace; jacobian along
+        # the swing direction (≙ the reference's stubbed
+        # limit_angular_coupled, joint_constraint_builder.wgsl:334-348 —
+        # implemented here, exceeding the reference's live surface)
+        aj_c = jnp.zeros_like(aj_axis)
+        s2_c = jnp.zeros_like(s_ang)
+        for k in range(3):
+            sel = ((coupled & (1 << (3 + k))) != 0)
+            comp = jnp.where(sel, ang_err[:, k], 0.0)
+            aj_c = aj_c + ang_basis[..., :, k] * comp[:, None]
+            s2_c = s2_c + comp * comp
+        s_c = jnp.sqrt(s2_c)
+        aj_c = aj_c * _pseudo_inv(s_c)[:, None]
+        r_wo_c = jnp.minimum(s_c - s_max, 0.0) * inv_dt
+        r_bias_c = r_wo_c + jnp.maximum(s_c - s_max, 0.0) * erp_inv_dt
+
+        use_c = is_coupled_slot
+        act = per_axis | use_c
+        aj = jnp.where(use_c[:, None], aj_c, aj_axis)
+        r_all = jnp.where(use_c, r_bias_c, r_bias_axis)
+        r_wo_all = jnp.where(use_c, r_wo_c, zeros)
+        lo_b = jnp.where(use_c, 0.0, jnp.where(min_en, -MAX, 0.0))
+        hi_b = jnp.where(use_c, MAX, jnp.where(max_en, MAX, 0.0))
+        put(12 + i, act, zeros3, aj, aj, r_all, r_wo_all,
+            jnp.full((j,), cfm_coeff_j), zeros, lo_b, hi_b)
 
     for i in range(3):  # linear limits → slots 15..17
         bit = 1 << i

@@ -831,6 +831,8 @@ def build_gs_chain(body_a_s, body_b_s, dyn_a_s, dyn_b_s, offsets, counts,
     srcs = []
     w_off = 0
     for ci, w in enumerate(windows, start=1):
+        if w == 0:  # pruned empty class: no stream segment, no chain rows
+            continue
         start = offsets[ci]
         slot = jnp.arange(w, dtype=jnp.int32)
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, w)
@@ -1069,6 +1071,12 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         carry = (packed0, imp0)
         w_off = 0
         for ci, w in enumerate(windows, start=1):
+            if w == 0:
+                # pruned rung (step_checked zeroes rungs past the last
+                # occupied class): skipped at TRACE time — a class that
+                # re-occupies it is parked one frame and the rung regrows,
+                # the standard capacity contract
+                continue
             if ci >= color_lo:
                 if chain is not None:
                     # unconditional: an empty color's stream rows are never

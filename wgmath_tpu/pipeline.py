@@ -841,6 +841,19 @@ def step_checked(state: PhysicsState, params: SimParams,
                 # the uniform split scheme) are wrong here
                 rungs[c] = max(256, -(-occ * 23 // 20 // 256) * 256)
                 changed = True
+        if not config.gs_fused:
+            # prune rungs past the last occupied class (keep ONE spare as
+            # flicker hysteresis): the chained/unrolled ladder pays every
+            # nonzero rung at trace time, and a fresh recolor typically
+            # occupies fewer classes than the seeded max_colors ladder. A
+            # class reappearing past the spare is parked one frame and the
+            # grow loop above restores its rung.
+            last = max((c for c in range(config.max_colors)
+                        if int(cc[c + 1]) > 0), default=-1)
+            for c in range(last + 2, config.max_colors):
+                if rungs[c]:
+                    rungs[c] = 0
+                    changed = True
         if changed:
             regrow["gs_windows"] = tuple(rungs)
         # fused layout: the residue class (color 0) has its own static
