@@ -28,13 +28,13 @@ import importlib  # noqa: E402
 gemm_mod = importlib.import_module("wgmath_tpu.ops.gemm")
 
 CANDIDATES = [
-    (512, 1024, 256),   # current default (baseline)
-    (512, 1024, 512),   # r01 peak — fits again with out-block accumulation
-    (512, 2048, 512),   # bf16's peak tile, now plausible without scratch
-    (256, 1024, 512),
-    (512, 512, 512),
+    (512, 512, 512),    # round-3 best so far (29.1)
+    (512, 1024, 512),   # r01 peak — retry: the 13:42 failure may be a
+                        # transient tunnel HTTP 500, VMEM is only ~8 MB now
+    (1024, 1024, 512),  # big out block (4 MB resident), ~12 MB total
     (1024, 512, 512),
-    (512, 1024, 1024),
+    (2048, 512, 256),
+    (512, 1024, 256),   # previous default (baseline)
 ]
 
 N = 4096
@@ -110,7 +110,7 @@ def main():
                        f"(wall {time.time()-t0:.0f}s)")
         except Exception as e:  # noqa: BLE001 - report and move on
             bench._log(f"tile ({bm},{bn},{bk}): FAILED "
-                       f"{type(e).__name__}: {str(e)[:200]}")
+                       f"{type(e).__name__}: {str(e)[:2000]}")
     best = max(results.items(), key=lambda kv: kv[1], default=None)
     bench._log(f"best: {best}")
 
