@@ -61,16 +61,27 @@ def main():
         assign_new_pair_colors, color_pairs, transfer_pair_colors)
     from wgmath_tpu.shapes.shape import world_aabbs
 
-    dyn = state.bodies.is_dynamic()
-    mins, maxs = world_aabbs(state.bodies.poses, state.shapes)
-    infl = cfg.bp_slack
+    from wgmath_tpu.shapes.shape import BALL, ball_radii_or_nan
 
-    # 1) grid BP on inflated boxes (feedback: shift mins by a hair of the
-    #    output count so XLA can't hoist the BP out of the loop)
+    dyn = state.bodies.is_dynamic()
+    mins, maxs = world_aabbs(state.shapes, state.bodies.poses)
+    infl = cfg.bp_slack
+    radii = (ball_radii_or_nan(state.shapes, state.bodies.poses)
+             if BALL in state.shapes.kinds else None)
+    radii_bp = None if radii is None else radii + np.sqrt(3.0) * infl
+
+    # 1) grid BP on inflated boxes, mirroring pipeline._run_bp's knobs
+    #    (feedback: shift mins by a hair of the output count so XLA can't
+    #    hoist the BP out of the loop)
     def bp_body(i, c):
         mn, acc = c
         p = find_pairs_grid(mn - infl, maxs + infl, capacity=cap,
                             max_per_body=cfg.broad_phase_max_per_row,
+                            cell_cap=cfg.bp_cell_cap,
+                            global_cap=cfg.bp_global_cap,
+                            cand_budget=cfg.bp_cand_budget,
+                            ball_radius=radii_bp,
+                            margin=params.prediction_distance,
                             dynamic=dyn)
         return mn + jnp.float32(1e-12) * p.count, acc + p.count
 

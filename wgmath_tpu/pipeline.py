@@ -441,14 +441,18 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
             knobs_ok = ((prev_tag[1] == config.gs_cmax)
                         & (prev_tag[2] == config.max_colors))
             cols = jax.lax.cond(
-                knobs_ok & (n_new <= config.bp_recolor_cap),
-                lambda: assign_new_pair_colors(
-                    p.body_a, p.body_b, p.valid, mapped,
-                    dyn[p.body_a], dyn[p.body_b], n_bodies,
-                    max_colors=config.max_colors,
-                    class_cap=config.gs_cmax,
-                    new_cap=config.bp_recolor_cap),
-                recolor)
+                knobs_ok & (n_new == 0),
+                lambda: mapped,  # every pair kept its color: skip the
+                # greedy assigner's setup (used tables + slot sort, ~2 ms)
+                lambda: jax.lax.cond(
+                    knobs_ok & (n_new <= config.bp_recolor_cap),
+                    lambda: assign_new_pair_colors(
+                        p.body_a, p.body_b, p.valid, mapped,
+                        dyn[p.body_a], dyn[p.body_b], n_bodies,
+                        max_colors=config.max_colors,
+                        class_cap=config.gs_cmax,
+                        new_cap=config.bp_recolor_cap),
+                    recolor))
         return p, (mn, mx), (cols, jnp.int32(config.gs_cmax),
                              jnp.int32(config.max_colors))
 
@@ -458,22 +462,34 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 and (not color_with_bp or state.bp_colors is not None))
 
     def _repair_bp(esc):
-        """Recompute only the escaped bodies' pair rows and merge them into
-        the cached list. Escaped bodies get fresh inflated reference boxes;
+        """Recompute the repaired bodies' pair rows and merge them into
+        the cached list. Repaired bodies get fresh inflated reference boxes;
         candidate tests run against the OTHER bodies' cached reference boxes
         (not their current AABBs), preserving the superset invariant: pair
         (i, j) is listed whenever ref_i and ref_j overlap, and bodies stay
-        inside their refs until they trigger their own repair/refresh."""
+        inside their refs until they trigger their own repair/refresh.
+
+        Proactive cohort batching: the [E, N] candidate rows below cost the
+        same whether 1 or E bodies are repaired (static shapes), so the
+        spare slots are filled with the bodies CLOSEST to their reference-
+        box walls — the next frames' escapees. Escaped bodies have negative
+        wall margin, so ascending-margin top_k always selects all of them
+        first (the switch guarantees n_esc <= E), and each repair resets
+        the whole almost-escaped cohort: without batching a settled 10k
+        pile dribbles escapes nearly every frame (measured natural mix:
+        157 repairs / 200 steps)."""
         ref0, ref1 = state.bp_ref
-        r0 = jnp.where(esc[:, None], mins - infl, ref0)
-        r1 = jnp.where(esc[:, None], maxs + infl, ref1)
         ecap = min(config.bp_repair_cap, n_bodies)
-        score = jnp.where(esc, n_bodies - jnp.arange(n_bodies), 0)
-        top, _ = jax.lax.top_k(score, ecap)
-        e_valid = top > 0
-        e_ids = jnp.where(e_valid, n_bodies - top, 0)
+        margin = jnp.min(jnp.minimum(mins - ref0, ref1 - maxs), axis=1)
+        urgency = jnp.where(dyn_mask, -margin, -jnp.inf)
+        _, e_ids = jax.lax.top_k(urgency, ecap)
+        e_ids = e_ids.astype(jnp.int32)
+        e_valid = jnp.ones((ecap,), bool)
+        sel = jnp.zeros((n_bodies,), bool).at[e_ids].set(True)
+        r0 = jnp.where(sel[:, None], mins - infl, ref0)
+        r1 = jnp.where(sel[:, None], maxs + infl, ref1)
         op = state.bp_pairs
-        keep = op.valid & ~esc[op.body_a] & ~esc[op.body_b]
+        keep = op.valid & ~sel[op.body_a] & ~sel[op.body_b]
         # [E, N] brute rows (exact AABB on reference boxes; the sphere
         # prefilter is skipped — a few extra superset pairs, re-tested by
         # the narrow phase anyway)
@@ -483,8 +499,8 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         ov &= e_valid[:, None]
         ov &= cols[None, :] != e_ids[:, None]
         ov &= dyn_mask[e_ids][:, None] | dyn_mask[None, :]
-        # escaped-escaped pairs emit from the lower body id only
-        ov &= (~esc[cols])[None, :] | (cols[None, :] > e_ids[:, None])
+        # repaired-repaired pairs emit from the lower body id only
+        ov &= (~sel[cols])[None, :] | (cols[None, :] > e_ids[:, None])
         row_counts = jnp.sum(ov, axis=-1, dtype=jnp.int32)
         kk = min(max(64, config.broad_phase_max_per_row), n_bodies)
         row_overflow = jnp.any(row_counts > kk)
@@ -518,18 +534,24 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                                       op.body_a, op.body_b, op.valid,
                                       state.bp_colors[0])
         n_new = jnp.sum((p.valid & (mapped == 0)).astype(jnp.int32))
+        # n_new == 0 shortcut: every pair kept its color — skip even the
+        # greedy assigner's setup (used-color tables + slot sort, ~2 ms at
+        # 10k), the common case when a repair only re-emits existing pairs
         cols_out = jax.lax.cond(
-            n_new <= config.bp_recolor_cap,
-            lambda: assign_new_pair_colors(
-                p.body_a, p.body_b, p.valid, mapped,
-                dyn_mask[p.body_a], dyn_mask[p.body_b], n_bodies,
-                max_colors=config.max_colors, class_cap=config.gs_cmax,
-                new_cap=config.bp_recolor_cap),
-            lambda: color_pairs(p.body_a, p.body_b, p.valid,
-                                dyn_mask[p.body_a], dyn_mask[p.body_b],
-                                n_bodies, max_colors=config.max_colors,
-                                claim_rounds=config.bp_claim_rounds,
-                                class_cap=config.gs_cmax))
+            n_new == 0,
+            lambda: mapped,
+            lambda: jax.lax.cond(
+                n_new <= config.bp_recolor_cap,
+                lambda: assign_new_pair_colors(
+                    p.body_a, p.body_b, p.valid, mapped,
+                    dyn_mask[p.body_a], dyn_mask[p.body_b], n_bodies,
+                    max_colors=config.max_colors, class_cap=config.gs_cmax,
+                    new_cap=config.bp_recolor_cap),
+                lambda: color_pairs(p.body_a, p.body_b, p.valid,
+                                    dyn_mask[p.body_a], dyn_mask[p.body_b],
+                                    n_bodies, max_colors=config.max_colors,
+                                    claim_rounds=config.bp_claim_rounds,
+                                    class_cap=config.gs_cmax)))
         return p, (r0, r1), (cols_out, jnp.int32(config.gs_cmax),
                              jnp.int32(config.max_colors))
 
