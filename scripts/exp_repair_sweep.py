@@ -24,6 +24,7 @@ from wgmath_tpu.pipeline import step, step_checked  # noqa: E402
 from profile_step import settled_state  # noqa: E402
 
 CONFIGS = [
+    (128, 0.02),  # baseline (re-timed: the repair sphere prefilter changed it)
     (256, 0.02),
     (512, 0.02),
     (128, 0.035),

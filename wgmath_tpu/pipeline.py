@@ -501,6 +501,27 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         ov &= dyn_mask[e_ids][:, None] | dyn_mask[None, :]
         # repaired-repaired pairs emit from the lower body id only
         ov &= (~sel[cols])[None, :] | (cols[None, :] > e_ids[:, None])
+        if radii is not None:
+            # sphere prefilter on reference boxes (mirrors the grid BP's
+            # ball_radius filter; without it box-corner pairs accumulate
+            # across repairs — measured 33.7k -> 48.4k pairs at 10k with a
+            # 256-body cohort, saturating the pair budget). Sound: a body
+            # stays inside its ref box, so any future contact needs the
+            # ref CENTERS within r_i + r_j + sqrt(dim)*(drift_i + drift_j)
+            # + margin, drift = he - r the per-axis slack (Euclidean corner
+            # factor sqrt(dim), same bound as the grid BP's radii_bp).
+            # Ball-only — for non-ball shapes (NaN radii) the comparison is
+            # false and the box test stands (the Euclidean bound would
+            # wrongly drop corner-overlapping boxes).
+            refc = 0.5 * (r0 + r1)
+            he = 0.5 * jnp.max(r1 - r0, axis=1)
+            reach = radii + dim_sqrt * (he - radii)
+            d2 = jnp.sum((refc[e_ids][:, None, :] - refc[None]) ** 2,
+                         axis=-1)
+            lim = reach[e_ids][:, None] + reach[None] + sphere_margin
+            both_ball = (jnp.isfinite(radii)[e_ids][:, None]
+                         & jnp.isfinite(radii)[None])
+            ov &= (d2 <= lim * lim) | ~both_ball
         row_counts = jnp.sum(ov, axis=-1, dtype=jnp.int32)
         kk = min(max(64, config.broad_phase_max_per_row), n_bodies)
         row_overflow = jnp.any(row_counts > kk)
