@@ -51,12 +51,14 @@ def _pick_tiles(m: int, n: int, k: int, itemsize: int):
 
     Autotuned on v5e (see BENCH_NOTES.md): bf16 peaks at (512, 2048, 512) —
     196.6 TF/s ≈ 99.8% of the 197 TF MXU peak at 4096²; f32 uses
-    (512, 1024, 256) — the K=512 variant exceeds the 16 MB scoped-VMEM
-    budget by 216 KB under the AOT compiler's accounting.
+    (512, 1024, 512) — out-block accumulation (no f32 scratch) brings it
+    back under the 16 MB scoped-VMEM budget on cold AOT compiles, 29.5 TF
+    at 4096² highest (= the device ceiling here: XLA's own highest dot
+    reads 29.4 on the same harness).
     """
     bm = min(m, 512)
     bn = min(n, 1024 if itemsize == 4 else 2048)
-    bk = min(k, 256 if itemsize == 4 else 512)
+    bk = min(k, 512)
     return bm, bn, bk
 
 
