@@ -390,7 +390,14 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     # recompiles); each candidate's checked warmup grows its rungs to the
     # settled class sizes (+15%). Ladder FIRST: it is the correctness
     # reference the other candidates are gated against.
-    steady_base = _dc.replace(settle_cfg, bp_slack=config.bp_slack)
+    # gs_cmax 8192 ≈ uncapped class sizes for this scene: balancing classes
+    # only helped the retired uniform-window sweep; per-class rungs want
+    # FEW, FULL classes (capless Luby colors the settled graph in 12
+    # classes vs 17-24 capped — exp_degree_priority.py), and each rung
+    # costs ~55 us of dispatch per sweep pass. Residue/overflow contracts
+    # are unchanged (the cap stays nonzero).
+    steady_base = _dc.replace(settle_cfg, bp_slack=config.bp_slack,
+                              gs_cmax=8192)
     ladder = _dc.replace(steady_base,
                          gs_windows=(256,) * steady_base.max_colors)
     candidates = [
