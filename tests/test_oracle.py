@@ -183,3 +183,30 @@ def test_oracle_ball_drop_fused_path():
     err = np.abs(jax_tr[:, 1] - orc_tr[:, 1]).max(axis=-1)
     assert err.max() < 2e-3, (err.max(), err.argmax())
     assert abs(jax_tr[-1, 1, 1] - orc_tr[-1, 1, 1]) < 1e-3
+
+
+def test_oracle_ball_drop_chained_uncapped():
+    """The bench steady configuration — chained (scatter-free) sweep,
+    per-class window ladder, slack-cached broad phase, effectively
+    UNCAPPED class sizes (gs_cmax >> any class: round-3 finding that
+    few/full color classes beat balanced ones for per-rung dispatch) —
+    must track the f64 oracle like the plain ladder does."""
+    import dataclasses
+
+    state, oracle = _scene([[0.0, 1.2, 0.0]], 0.5)
+    cfg = dataclasses.replace(CFG, bp_slack=0.035, gs_cmax=4096,
+                              bp_algo="grid", gs_chained=True,
+                              gs_windows=(256,) * CFG.max_colors)
+    params = SimParams()
+    op = OracleParams()
+    jax_tr, orc_tr = [], []
+    prev = None
+    for f in range(100):
+        state = step(state, params, cfg, warmstart=f > 0)
+        prev = oracle_step(oracle, op, prev_impulses=prev)
+        jax_tr.append(np.asarray(state.bodies.poses.translation))
+        orc_tr.append(np.stack([b.pos for b in oracle]))
+    jax_tr, orc_tr = np.stack(jax_tr), np.stack(orc_tr)
+    err = np.abs(jax_tr[:, 1] - orc_tr[:, 1]).max(axis=-1)
+    assert err.max() < 2e-3, (err.max(), err.argmax())
+    assert abs(jax_tr[-1, 1, 1] - orc_tr[-1, 1, 1]) < 1e-3
