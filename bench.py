@@ -309,29 +309,16 @@ def _fused_pallas_supported():
         return False
 
 
-def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
-    """Times the *settled* contact-rich regime — the honest hot path for
-    benchmark config 5.
+def physics_steady_setup(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
+    """Settle (or load) the bench pile and derive the steady configs.
 
-    The pile is stepped until it rests (capacity re-buckets as contacts
-    appear; a 23-body-tall lattice needs ~2.2 s of fall + relaxation, so
-    settle runs until max |v| drops under ``calm_vel``) — ONCE: the settled
-    state + grown config are checkpointed next to the compile cache, keyed
-    by (scene, n, params, version), so repeat runs skip the ~15 min settle.
-
-    Steady state then times EVERY solver candidate that compiles (K chained
-    steps inside one jit, min of 3), gates each on positional agreement
-    with the ladder reference (catches silent Mosaic miscomputes — round-2
-    finding: kernels can compile AND miscompute), and reports the fastest.
-    Candidate preference alone is never trusted: round 2 recorded 274.7
-    ms/step from a first-that-runs fused_xla while the ladder did ~23 ms.
-    Reference analog: the reference's fallback is correctness-triggered
-    (/root/reference/crates/wgrapier/src/pipeline.rs:646-655)."""
+    Returns ``(state, params, steady_base, ladder)`` — shared by
+    ``bench_physics`` and the profiling scripts (scripts/profile_*.py) so
+    the profiled configuration can never drift from the benched one."""
     from wgmath_tpu.dynamics import SimParams
     from wgmath_tpu.pipeline import (
         PipelineConfig,
         auto_manifold_points,
-        step,
         step_checked,
     )
     from wgmath_tpu.scenes.builders import ball_pit
@@ -348,7 +335,12 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
         # (measured 23.4 -> 22.3 ms/step chained). One full BP per candidate
         # warmup pays for it.
         state = _dc.replace(state, bp_pairs=None, bp_ref=None,
-                            bp_colors=None, solve_cache=None)
+                            bp_colors=None, solve_cache=None,
+                            # the steady config re-seeds (smaller, fine)
+                            # capacities; the checkpointed warmstart buffers
+                            # carry the settle-time shapes — drop them and
+                            # let the warmups re-establish warmstart
+                            prev_constraints=None, prev_colors=None)
         maxv = float(jnp.max(jnp.abs(state.bodies.vels.linear)))
         _log(f"physics settled state loaded from {os.path.basename(ckpt)} "
              f"(pairs={int(np.asarray(state.pair_count)[0])}, "
@@ -396,16 +388,58 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     # classes vs 17-24 capped — exp_degree_priority.py), and each rung
     # costs ~55 us of dispatch per sweep pass. Residue/overflow contracts
     # are unchanged (the cap stays nonzero).
-    steady_base = _dc.replace(settle_cfg, bp_slack=config.bp_slack,
-                              gs_cmax=8192)
+    from wgmath_tpu.pipeline import fine_bucket
+
+    # fine capacities + tight rungs: the solve is gather-ROW bound, so the
+    # 1.5x bucket overshoot (contact 26.2k→32768, pairs 33.9k→49152) costs
+    # ~1 ms/step of padding rows in the np/warmstart/rhs/sweep gathers.
+    # Caps re-seed from the checkpoint's own counts (regrow only grows).
+    cnt0 = np.asarray(state.pair_count)
+    steady_base = _dc.replace(
+        settle_cfg, bp_slack=config.bp_slack, gs_cmax=8192,
+        fine_capacities=True, gs_rung_quantum=128, gs_rung_headroom=1.08,
+        pair_capacity=fine_bucket(int(cnt0[0]) * 13 // 10),  # slack inflates
+        contact_capacity=fine_bucket(int(cnt0[1])))
     ladder = _dc.replace(steady_base,
-                         gs_windows=(256,) * steady_base.max_colors)
+                         gs_windows=(128,) * steady_base.max_colors)
+    return state, params, steady_base, ladder
+
+
+def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
+    """Times the *settled* contact-rich regime — the honest hot path for
+    benchmark config 5.
+
+    The pile is stepped until it rests (capacity re-buckets as contacts
+    appear; a 23-body-tall lattice needs ~2.2 s of fall + relaxation, so
+    settle runs until max |v| drops under ``calm_vel``) — ONCE: the settled
+    state + grown config are checkpointed next to the compile cache, keyed
+    by (scene, n, params, version), so repeat runs skip the ~15 min settle.
+
+    Steady state then times EVERY solver candidate that compiles (K chained
+    steps inside one jit, min of 3), gates each on positional agreement
+    with the ladder reference (catches silent Mosaic miscomputes — round-2
+    finding: kernels can compile AND miscompute), and reports the fastest.
+    Candidate preference alone is never trusted: round 2 recorded 274.7
+    ms/step from a first-that-runs fused_xla while the ladder did ~23 ms.
+    Reference analog: the reference's fallback is correctness-triggered
+    (/root/reference/crates/wgrapier/src/pipeline.rs:646-655)."""
+    from wgmath_tpu.pipeline import step, step_checked
+
+    import dataclasses as _dc
+
+    state, params, steady_base, ladder = physics_steady_setup(
+        n_bodies, settle_frames, calm_vel)
     candidates = [
         ("ladder", ladder),
         # scatter-free chained sweep: per-color static stream writes +
         # cached last-writer gathers + merged impulse matrix (validated
         # exact on device 2026-08-19; ~1.15x the ladder at 10k)
         ("chained", _dc.replace(ladder, gs_chained=True)),
+        # + in-kernel rhs relinearization (poses ride the stream; the
+        # per-substep update_rhs_sorted phase disappears) — bitwise-exact
+        # vs the ladder on device, 77.6 steps/s (2026-08-19)
+        ("chained_rr", _dc.replace(ladder, gs_chained=True,
+                                   gs_rhs_in_rung=True)),
         # FUSED solver (whole sweep / build / warmstart+rhs / integration
         # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),

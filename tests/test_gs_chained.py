@@ -15,6 +15,7 @@ import pytest
 
 from wgmath_tpu.dynamics import SimParams
 from wgmath_tpu.dynamics.solver import build_gs_chain, gs_color_major_pass
+from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
 
 from tests.test_gs_fused import _random_setup
 
@@ -153,3 +154,82 @@ def test_window_prune_matches_unpruned():
     np.testing.assert_array_equal(
         np.asarray(out_p.bodies.vels.linear),
         np.asarray(out_u.bodies.vels.linear))
+
+
+def test_fine_capacities_and_rung_quantum_regrow():
+    """fine_capacities re-buckets pair/contact caps to ceil(1.1·n/1024)
+    ·1024 and gs_rung_quantum/_headroom size the window ladder rungs —
+    and the tightened configuration steps EXACTLY like the coarse one
+    (capacities/windows are padding, never physics)."""
+    from wgmath_tpu.pipeline import fine_bucket
+    from wgmath_tpu.scenes.builders import balls
+
+    assert fine_bucket(26186) == 29696
+    assert fine_bucket(33914) == 37888
+    assert fine_bucket(100) == 2048  # floor
+
+    state = balls(300)
+    params = SimParams()
+    coarse = PipelineConfig(pair_capacity=8192, max_colors=8, gs_cmax=512,
+                            broad_phase_block=256, bp_slack=0.02,
+                            gs_windows=(256,) * 8, gs_chained=True)
+    fine = dataclasses.replace(coarse, pair_capacity=2048,
+                               contact_capacity=2048, fine_capacities=True,
+                               gs_windows=(128,) * 8, gs_rung_quantum=128,
+                               gs_rung_headroom=1.08)
+    sc, cc = state, coarse
+    sf, cf = state, fine
+    for _ in range(8):
+        sc, cc = step_checked(sc, params, cc)
+        sf, cf = step_checked(sf, params, cf)
+    # fine caps grew in 1024-quanta (not the 1.5x ladder)
+    assert cf.pair_capacity % 1024 == 0
+    assert cf.contact_capacity % 1024 == 0
+    # rungs grew in 128-quanta
+    assert all(w % 128 == 0 for w in cf.gs_windows)
+    np.testing.assert_allclose(
+        np.asarray(sc.bodies.poses.translation),
+        np.asarray(sf.bodies.poses.translation), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sc.bodies.vels.linear),
+        np.asarray(sf.bodies.vels.linear), atol=1e-5)
+
+
+def test_pipeline_rhs_in_rung_matches_ladder():
+    """The rhs-in-rung chained path (in-kernel substep relinearization,
+    gs_pallas.gs_math_block_rhs) advances a settled pile like the ladder:
+    same formula on the same substep-start poses, computed per rung from
+    the stream-ridden pose columns instead of a standalone
+    update_rhs_sorted phase."""
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    base = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                          max_colors=12, gs_cmax=256, bp_slack=0.03,
+                          bp_algo="grid", manifold_points=1,
+                          gs_windows=(256,) * 12)
+    state = balls(160, dim=3)
+    cfg = base
+    for _ in range(30):
+        state, cfg = step_checked(state, params, cfg)
+    cfg_r = dataclasses.replace(cfg, gs_chained=True, gs_rhs_in_rung=True)
+
+    s_lad = step(state, params, cfg, warmstart=True)
+    s_rr = step(state, params, cfg_r, warmstart=True)
+    np.testing.assert_allclose(
+        np.asarray(s_rr.bodies.vels.linear),
+        np.asarray(s_lad.bodies.vels.linear), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_rr.bodies.poses.translation),
+        np.asarray(s_lad.bodies.poses.translation), rtol=1e-5, atol=1e-6)
+
+    # multi-frame coherence (caches, regrows) + loose ladder tracking
+    sr, cr = s_rr, cfg_r
+    sl, cl = s_lad, cfg
+    for _ in range(10):
+        sr, cr = step_checked(sr, params, cr)
+        sl, cl = step_checked(sl, params, cl)
+    assert np.isfinite(np.asarray(sr.bodies.poses.translation)).all()
+    np.testing.assert_allclose(
+        np.asarray(sr.bodies.poses.translation),
+        np.asarray(sl.bodies.poses.translation), rtol=1e-3, atol=1e-3)

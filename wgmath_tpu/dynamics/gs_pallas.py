@@ -112,9 +112,8 @@ def _cm_point_updates(f, v1l, v1a, v2l, v2a, prev_n, prev_t,
             jnp.stack(new_t, axis=0), v1l, v1a, v2l, v2a)
 
 
-def _cm_fields_from_refs(win_ref, meta, extras, p_max, s_len):
-    """Build the component-major field dict from the transposed packed
-    window [K, L] (+ transposed mutable extras)."""
+def _cm_fields_base(win_ref, meta, p_max, s_len):
+    """Component-major views of the packed invariant fields [K, L]."""
     f = {}
 
     def rows(name, shape):
@@ -123,7 +122,6 @@ def _cm_fields_from_refs(win_ref, meta, extras, p_max, s_len):
         v = win_ref[a0:a0 + k, :]
         return v.reshape(shape + (v.shape[-1],))
 
-    L = None
     f["dir_a"] = rows("dir_a", (3,))
     f["tangent_a"] = rows("tangent_a", (s_len, 3))
     f["im_a"] = rows("im_a", (3,))
@@ -139,8 +137,72 @@ def _cm_fields_from_refs(win_ref, meta, extras, p_max, s_len):
     f["t_ii_torque_a"] = rows("t_ii_torque_a", (p_max, s_len, 3))
     f["t_ii_torque_b"] = rows("t_ii_torque_b", (p_max, s_len, 3))
     f["t_r"] = rows("t_r", (p_max, 3))
+    # rhs-relinearization inputs (present when _PACK_FIELDS carries them)
+    if "local_pt_a" in meta:
+        f["local_pt_a"] = rows("local_pt_a", (p_max, 3))
+        f["local_pt_b"] = rows("local_pt_b", (p_max, 3))
+        f["info_dist"] = rows("info_dist", (p_max,))
+        f["info_normal_vel"] = rows("info_normal_vel", (p_max,))
+        f["t_rhs_wo_bias"] = rows("t_rhs_wo_bias", (p_max, s_len))
+    return f
+
+
+def _cm_fields_from_refs(win_ref, meta, extras, p_max, s_len):
+    """Build the component-major field dict from the transposed packed
+    window [K, L] (+ transposed mutable extras)."""
+    f = _cm_fields_base(win_ref, meta, p_max, s_len)
     f["cfm"], f["n_rhs"], f["t_rhs"], f["nump"], f["active"] = extras
     return f
+
+
+def _cm_rot(q, v3):
+    """quat.mul_vec (xyzw), component-major: v + 2(w(u×v) + u×(u×v))."""
+    ux, uy, uz, w = q[0:1], q[1:2], q[2:3], q[3:4]
+    vx, vy, vz = v3[0:1], v3[1:2], v3[2:3]
+    cx = uy * vz - uz * vy
+    cy = uz * vx - ux * vz
+    cz = ux * vy - uy * vx
+    dx = uy * cz - uz * cy
+    dy = uz * cx - ux * cz
+    dz = ux * cy - uy * cx
+    return jnp.concatenate([vx + 2.0 * (w * cx + dx),
+                            vy + 2.0 * (w * cy + dy),
+                            vz + 2.0 * (w * cz + dz)], axis=0)
+
+
+def _cm_rhs(f, pose1, pose2, consts, p_max, s_len):
+    """Component-major substep rhs relinearization — the in-kernel twin of
+    ``constraint.update_rhs_sorted`` (≙ solver.wgsl update_constraints
+    :103-170). ``pose1``/``pose2`` [8, L]: quat xyzw, translation, scale of
+    each side's body at substep start (ridden through the chained sweep's
+    velocity stream). Returns ``(n_rhsT [P,L], rhs_woT [P,L],
+    t_rhsT [P,S,L])``."""
+    inv_dt, erp_inv_dt, allowed, max_corr = consts
+
+    def mul_pt(pose, v3):  # sim.mul_pt: scale·rot(v) + translation
+        return pose[7:8] * _cm_rot(pose[0:4], v3) + pose[4:7]
+
+    dir_a = f["dir_a"]
+    tang = f["tangent_a"]
+    n_rhs, rhs_wo, t_rhs = [], [], []
+    for k in range(p_max):
+        p1w = mul_pt(pose1, f["local_pt_a"][k])
+        p2w = mul_pt(pose2, f["local_pt_b"][k])
+        drift = p1w - p2w  # [3, L]
+        dist = (f["info_dist"][k:k + 1]
+                + jnp.sum(drift * dir_a, axis=0, keepdims=True))
+        wo = (f["info_normal_vel"][k:k + 1]
+              + jnp.maximum(dist, 0.0) * inv_dt)
+        bias = jnp.clip((dist + allowed) * erp_inv_dt, -max_corr, 0.0)
+        n_rhs.append(wo + bias)
+        rhs_wo.append(wo)
+        tk = []
+        for j in range(s_len):
+            tb = jnp.sum(drift * tang[j], axis=0, keepdims=True) * inv_dt
+            tk.append(f["t_rhs_wo_bias"][k, j:j + 1] + tb)
+        t_rhs.append(jnp.concatenate(tk, axis=0))
+    return (jnp.concatenate(n_rhs, axis=0), jnp.concatenate(rhs_wo, axis=0),
+            jnp.stack(t_rhs, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("p_max", "s_len", "meta_t"))
@@ -198,6 +260,134 @@ def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
         out_specs=(spec, spec, spec, spec),
         interpret=pallas_interpret(),
     )(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T, prev_nT, prev_tT)
+
+
+@functools.partial(jax.jit, static_argnames=("p_max", "s_len", "meta_t",
+                                              "consts", "mode"))
+def _gs_math_rhs_xla(winT, numpT, activeT, p1T, p2T, auxT,
+                     prev_nT, prev_tT, pose2T, *, p_max, s_len, meta_t,
+                     consts, mode):
+    meta = dict(meta_t)
+    f = _cm_fields_base(winT, meta, p_max, s_len)
+    L = winT.shape[1]
+    if mode == "biased":
+        pose1T = auxT
+        n_rhsT, rhs_woT, t_rhsT = _cm_rhs(f, pose1T, pose2T, consts[:4],
+                                          p_max, s_len)
+        cfm = jnp.full((1, L), consts[4], jnp.float32)
+    else:  # unbiased: stored rhs_wo + packed t_rhs_wo_bias, cfm = 1
+        n_rhsT = auxT
+        rhs_woT = None
+        t_rhsT = f["t_rhs_wo_bias"]
+        cfm = jnp.ones((1, L), jnp.float32)
+    f["cfm"], f["n_rhs"], f["t_rhs"] = cfm, n_rhsT, t_rhsT
+    f["nump"], f["active"] = numpT, activeT
+    v1l, v1a = p1T[:3], p1T[3:6]
+    v2l, v2a = p2T[:3], p2T[3:6]
+    new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
+        f, v1l, v1a, v2l, v2a, prev_nT, prev_tT.reshape(p_max, s_len, -1),
+        p_max, s_len)
+    d1 = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
+    d2 = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
+    if mode == "biased":
+        return new_n, new_t.reshape(p_max * s_len, -1), d1, d2, rhs_woT
+    return new_n, new_t.reshape(p_max * s_len, -1), d1, d2
+
+
+def _gs_math_rhs_pallas_call(winT, numpT, activeT, p1T, p2T, auxT,
+                             prev_nT, prev_tT, pose2T, *, p_max, s_len,
+                             meta_t, consts, mode):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = winT.shape[1]
+    meta = dict(meta_t)
+    biased = mode == "biased"
+
+    def kernel(win_ref, nump_ref, act_ref, p1_ref, p2_ref, aux_ref,
+               pn_ref, pt_ref, pose2_ref, *out_refs):
+        f = _cm_fields_base(win_ref[:, :], meta, p_max, s_len)
+        if biased:
+            n_rhsT, rhs_woT, t_rhsT = _cm_rhs(
+                f, aux_ref[:, :], pose2_ref[:, :], consts[:4], p_max, s_len)
+            cfm = jnp.full((1, L), consts[4], jnp.float32)
+        else:
+            n_rhsT = aux_ref[:, :]
+            t_rhsT = f["t_rhs_wo_bias"]
+            cfm = jnp.ones((1, L), jnp.float32)
+        f["cfm"], f["n_rhs"], f["t_rhs"] = cfm, n_rhsT, t_rhsT
+        f["nump"], f["active"] = nump_ref[:, :], act_ref[:, :]
+        p1 = p1_ref[:, :]
+        p2 = p2_ref[:, :]
+        v1l, v1a = p1[:3], p1[3:6]
+        v2l, v2a = p2[:3], p2[3:6]
+        new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
+            f, v1l, v1a, v2l, v2a, pn_ref[:, :],
+            pt_ref[:, :].reshape(p_max, s_len, L), p_max, s_len)
+        out_refs[0][:, :] = new_n
+        out_refs[1][:, :] = new_t.reshape(p_max * s_len, L)
+        out_refs[2][:, :] = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
+        out_refs[3][:, :] = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
+        if biased:
+            out_refs[4][:, :] = rhs_woT
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((p_max, L), jnp.float32),
+                 jax.ShapeDtypeStruct((p_max * s_len, L), jnp.float32),
+                 jax.ShapeDtypeStruct((6, L), jnp.float32),
+                 jax.ShapeDtypeStruct((6, L), jnp.float32)]
+    if biased:
+        out_shape.append(jax.ShapeDtypeStruct((p_max, L), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[spec] * 9,
+        out_specs=(spec,) * len(out_shape),
+        interpret=pallas_interpret(),
+    )(winT, numpT, activeT, p1T, p2T, auxT, prev_nT, prev_tT, pose2T)
+
+
+def gs_math_block_rhs(win2d, meta, num_points, active, p1, p2, prev_n,
+                      prev_t, *, mode: str, consts: tuple, pose1=None,
+                      pose2=None, n_rhs_wo=None, p_max: int, s_len: int,
+                      use_pallas: bool | None = None):
+    """``gs_math_block`` with IN-KERNEL substep rhs relinearization (the
+    chained rhs-in-rung path): the per-substep 2C-row pose gather + XLA
+    relinearization phase disappears — each rung recomputes its own rhs
+    from the poses ridden through the velocity stream.
+
+    ``mode``: "biased" computes n_rhs/t_rhs from ``pose1``/``pose2``
+    [L, 8] and additionally returns ``rhs_wo`` [L, P] (stored for the
+    unbiased sweep, whose pre-integrate poses these are);  "unbiased"
+    consumes ``n_rhs_wo`` [L, P] + the packed t_rhs_wo_bias with cfm = 1
+    (≙ remove_cfm_and_bias, solver.wgsl:688-699).
+    ``consts`` = (inv_dt, erp_inv_dt, allowed_err, max_corr, cfm_factor).
+    """
+    L = win2d.shape[0]
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    winT = win2d.T
+    numpT = num_points.astype(jnp.float32).reshape(L, 1).T
+    activeT = active.astype(jnp.float32).reshape(L, 1).T
+    p1T, p2T = p1.T, p2.T
+    prev_nT = prev_n.reshape(L, p_max).T
+    prev_tT = prev_t.reshape(L, p_max * s_len).T
+    if mode == "biased":
+        auxT = pose1.T
+        pose2T = pose2.T
+    else:
+        auxT = n_rhs_wo.reshape(L, p_max).T
+        pose2T = jnp.zeros((8, L), jnp.float32)
+    meta_t = tuple(sorted((k, (a, tuple(t))) for k, (a, t) in meta.items()))
+    fn = _gs_math_rhs_pallas_call if use_pallas else _gs_math_rhs_xla
+    out = fn(winT, numpT, activeT, p1T, p2T, auxT, prev_nT, prev_tT,
+             pose2T, p_max=p_max, s_len=s_len, meta_t=meta_t,
+             consts=consts, mode=mode)
+    new_nT, new_tT, d1T, d2T = out[:4]
+    res = (new_nT.T, new_tT.T.reshape(L, p_max, s_len), d1T.T, d2T.T)
+    if mode == "biased":
+        return res + (out[4].T,)
+    return res
 
 
 def gs_math_block(win2d, meta, view, active, p1, p2, prev_n, prev_t,

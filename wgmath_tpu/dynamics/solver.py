@@ -663,11 +663,16 @@ _SORT_FIELDS = _VIEW_FIELDS + ("body_a", "body_b", "n_rhs_wo_bias",
 
 # solver-read fields that stay CONSTANT across the substep loop — packed
 # into one [C, K] f32 matrix so each GS color iteration pays one
-# dynamic-slice instead of ~15 (the sweep is op-dispatch bound on TPU)
+# dynamic-slice instead of ~15 (the sweep is op-dispatch bound on TPU).
+# The rhs-relinearization inputs (local anchors + builder infos) ride the
+# pack too: the rhs-in-rung sweep (gs_pallas.gs_math_block_rhs) recomputes
+# each rung's substep rhs IN KERNEL from them, deleting the per-substep
+# 2C-row pose gather + XLA relinearization phase.
 _PACK_FIELDS = ("dir_a", "tangent_a", "im_a", "im_b", "limit",
                 "n_torque_a", "n_torque_b", "n_ii_torque_a", "n_ii_torque_b",
                 "n_r", "t_torque_a", "t_torque_b", "t_ii_torque_a",
-                "t_ii_torque_b", "t_r")
+                "t_ii_torque_b", "t_r", "local_pt_a", "local_pt_b",
+                "info_dist", "info_normal_vel", "t_rhs_wo_bias")
 
 
 def pack_sorted_fields(ss):
@@ -698,8 +703,7 @@ def _unpack_window(win2d, meta):
 
 
 _F32_SORT_FIELDS = _PACK_FIELDS + (
-    "cfm_factor", "n_rhs", "t_rhs", "n_rhs_wo_bias", "t_rhs_wo_bias",
-    "local_pt_a", "local_pt_b", "info_dist", "info_normal_vel")
+    "cfm_factor", "n_rhs", "t_rhs", "n_rhs_wo_bias")
 
 
 def sort_solver_fields_packed(cons: ContactConstraints,
@@ -854,7 +858,8 @@ def build_gs_chain(body_a_s, body_b_s, dyn_a_s, dyn_b_s, offsets, counts,
 def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                         layout, num_colors, *, cmax: int, dim: int,
                         shard=None, packed_fields=None, color_lo=1,
-                        windows=None, chain=None):
+                        windows=None, chain=None, rhs_mode=None,
+                        pose_tab=None, rhs_consts=None, rhs_store=None):
     """PGS sweep over pre-sorted color-major constraints.
 
     ``n_imp_s``/``t_imp_s`` are impulse accumulators in SORTED order; they
@@ -902,6 +907,19 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     n_bodies = vels.linear.shape[0]
     packed0 = jnp.concatenate([vels.linear, ang_v], axis=-1)
     adim = ang_v.shape[-1]
+    vel_w = dim + adim
+    # rhs-in-rung (chained only): each rung recomputes its substep rhs
+    # IN KERNEL (gs_pallas.gs_math_block_rhs) — the biased sweep's poses
+    # ride the velocity stream (written through unchanged), the unbiased
+    # sweep reads the biased sweep's stored rhs_wo_bias from the merged
+    # impulse matrix. Deletes the per-substep update_rhs_sorted phase
+    # (one 2C-row pose gather + the XLA relinearization ops).
+    if rhs_mode is not None:
+        assert chain is not None and packed_fields is not None and dim == 3
+        assert rhs_consts is not None and rhs_store is not None
+        if rhs_mode == "biased":
+            assert pose_tab is not None
+            packed0 = jnp.concatenate([packed0, pose_tab], axis=-1)
     if chain is not None:
         # chained (scatter-free) sweep: the buffer is the velocity STREAM —
         # body table + one static 2w-row segment per color (build_gs_chain)
@@ -909,7 +927,8 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         src_all, last_writer = chain
         packed0 = jnp.concatenate(
             [packed0,
-             jnp.zeros((2 * sum(windows), dim + adim), packed0.dtype)])
+             jnp.zeros((2 * sum(windows), packed0.shape[-1]),
+                       packed0.dtype)])
     else:
         # scratch rows absorb padding/static writes so every scatter-add
         # below carries unique indices — XLA's fast TPU scatter path (the
@@ -961,7 +980,8 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         if merge_imp:
             win_i = sl(imp)
             prev_n = jax.lax.slice_in_dim(win_i, 0, p_flat, axis=1)
-            prev_t = jax.lax.slice_in_dim(win_i, p_flat, None,
+            prev_t = jax.lax.slice_in_dim(win_i, p_flat,
+                                          p_flat * (1 + s_len_),
                                           axis=1).reshape(lw, p_flat, s_len_)
         else:
             prev_n = sl(n_imp)
@@ -980,12 +1000,35 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             # 2x4096
             pp = packed[jnp.concatenate([ba, bb])]
         p1, p2 = pp[:lw], pp[lw:]
-        v1l, v1a = p1[:, :dim], p1[:, dim:]
-        v2l, v2a = p2[:, :dim], p2[:, dim:]
+        v1l, v1a = p1[:, :dim], p1[:, dim:vel_w]
+        v2l, v2a = p2[:, :dim], p2[:, dim:vel_w]
         if ang2d:
             v1a = v1a[:, 0]
             v2a = v2a[:, 0]
-        if use_cm_kernel:
+        if rhs_mode is not None:
+            # in-kernel rhs relinearization (see gs_math_block_rhs): the
+            # biased rung computes this substep's rhs from the stream-ridden
+            # poses and stores rhs_wo_bias in the merged impulse matrix; the
+            # unbiased rung consumes it with cfm = 1
+            from wgmath_tpu.dynamics.gs_pallas import gs_math_block_rhs
+
+            num_pts = sl(sorted_cons.num_points)
+            kw = dict(mode=rhs_mode, consts=rhs_consts, p_max=p_max,
+                      s_len=s_len_,
+                      use_pallas=None if use_cm_kernel else False)
+            if rhs_mode == "biased":
+                new_n, new_t, d1, d2, rhs_wo = gs_math_block_rhs(
+                    win2d, pf_meta, num_pts, active, p1[:, :vel_w],
+                    p2[:, :vel_w], prev_n, prev_t,
+                    pose1=p1[:, vel_w:], pose2=p2[:, vel_w:], **kw)
+            else:
+                rhs_wo = jax.lax.slice_in_dim(
+                    win_i, p_flat * (1 + s_len_), p_flat * (2 + s_len_),
+                    axis=1)
+                new_n, new_t, d1, d2 = gs_math_block_rhs(
+                    win2d, pf_meta, num_pts, active, p1[:, :vel_w],
+                    p2[:, :vel_w], prev_n, prev_t, n_rhs_wo=rhs_wo, **kw)
+        elif use_cm_kernel:
             # fused component-major impulse math: one Pallas VPU kernel
             # replaces ~55 dispatch-bound XLA ops per color iteration
             from wgmath_tpu.dynamics.gs_pallas import gs_math_block
@@ -1004,11 +1047,18 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             d1 = jnp.concatenate([v1l - i1l, v1a - i1a], axis=-1)
             d2 = jnp.concatenate([v2l - i2l, v2a - i2a], axis=-1)
         d12 = jnp.concatenate([d1, d2])
+        if rhs_mode == "biased":
+            # pose columns ride the stream unchanged (delta 0)
+            d12 = jnp.concatenate(
+                [d12, jnp.zeros((d12.shape[0], packed.shape[-1] - vel_w),
+                                d12.dtype)], axis=-1)
 
         def upd_imps():
             if merge_imp:
-                new_i = jnp.concatenate([new_n, new_t.reshape(lw, -1)],
-                                        axis=1)
+                cols = [new_n, new_t.reshape(lw, -1)]
+                if rhs_mode is not None:
+                    cols.append(rhs_wo)
+                new_i = jnp.concatenate(cols, axis=1)
                 return (jax.lax.dynamic_update_slice_in_dim(imp, new_i,
                                                             start, 0),)
             return (jax.lax.dynamic_update_slice_in_dim(n_imp, new_n,
@@ -1061,9 +1111,12 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         return packed, n_imp, t_imp
 
     if windows is not None:
-        # merged sorted-space impulse matrix for the unrolled ladder
-        imp0 = jnp.concatenate(
-            [n_imp_s, t_imp_s.reshape(t_imp_s.shape[0], -1)], axis=1)
+        # merged sorted-space impulse matrix for the unrolled ladder (the
+        # rhs-in-rung store rides it as trailing columns)
+        imp_cols = [n_imp_s, t_imp_s.reshape(t_imp_s.shape[0], -1)]
+        if rhs_mode is not None:
+            imp_cols.append(rhs_store)
+        imp0 = jnp.concatenate(imp_cols, axis=1)
         # static unrolled ladder: color c sweeps a windows[c-1]-sized slice;
         # empty classes skip their body via lax.cond (verified cheap on this
         # backend). The compiled program grows with max_colors, but every
@@ -1095,8 +1148,12 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             w_off += w
         packed, imp1 = carry
         n_imp_s = jax.lax.slice_in_dim(imp1, 0, p_flat, axis=1)
-        t_imp_s = jax.lax.slice_in_dim(imp1, p_flat, None, axis=1).reshape(
-            t_imp_s.shape)
+        t_imp_s = jax.lax.slice_in_dim(imp1, p_flat,
+                                       p_flat * (1 + s_len_),
+                                       axis=1).reshape(t_imp_s.shape)
+        if rhs_mode is not None:
+            rhs_store = jax.lax.slice_in_dim(imp1, p_flat * (1 + s_len_),
+                                             p_flat * (2 + s_len_), axis=1)
     else:
         one_color = functools.partial(one_color_lw, lw=cmax // n_shards)
         packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
@@ -1104,10 +1161,13 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     # chained mode: each body's final velocity lives at its last writer's
     # stream row (identity for untouched bodies)
     packed = packed[last_writer] if chain is not None else packed[:n_bodies]
-    ang_out = packed[:, dim:]
+    ang_out = packed[:, dim:vel_w]
     if ang2d:
         ang_out = ang_out[:, 0]
-    return Velocity(packed[:, :dim], ang_out), n_imp_s, t_imp_s
+    out = (Velocity(packed[:, :dim], ang_out), n_imp_s, t_imp_s)
+    if rhs_mode is not None:
+        return out + (rhs_store,)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1197,7 +1257,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           presorted: bool = False, gs_windows: tuple = (),
           fused: bool = False, fused_rung0: int = 0,
           fused_class_counts=None, fused_pallas: bool = True,
-          chained: bool = False):
+          chained: bool = False, rhs_in_rung: bool = False):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors, solve_cache)``
     — always six (solve_cache is None under jacobi). One
@@ -1515,6 +1575,44 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
 
     import types as _types
 
+    # rhs-in-rung: chained sweeps recompute each rung's substep rhs IN the
+    # math kernel (gs_pallas.gs_math_block_rhs) — no update_rhs_sorted
+    # phase, no per-substep 2C-row pose gather. Joints keep the classic
+    # path (their builder needs poses at substep level anyway).
+    use_rhs_rung = (rhs_in_rung and not use_jacobi and use_chained
+                    and dim == 3 and joints is None)
+    if use_rhs_rung:
+        rhs_consts = (float(sub.inv_dt), float(sub.contact_erp_inv_dt),
+                      float(sub.allowed_linear_error),
+                      float(sub.max_corrective_velocity),
+                      float(sub.contact_cfm_factor))
+
+    def substep_gs_rhs(_, carry):
+        vels, poses, n_imp_s, t_imp_s = carry
+        vels = Velocity(vels.linear + inc, vels.angular)
+        n_imp_s = n_imp_s * sub.warmstart_coefficient
+        t_imp_s = t_imp_s * sub.warmstart_coefficient
+        deltas = _ws_deltas(ss, n_imp_s, t_imp_s, ss.valid,
+                            n_imp_s.shape[1])
+        vels = _ws_apply(vels, deltas, ws_sides)
+        pose_tab = jnp.concatenate(
+            [poses.rotation, poses.translation, poses.scale[:, None]],
+            axis=-1)
+        rhs0 = jnp.zeros((n_imp_s.shape[0], n_imp_s.shape[1]), jnp.float32)
+        vels, n_imp_s, t_imp_s, rhs_store = gs_color_major_pass(
+            ss, vels, n_imp_s, t_imp_s, layout, num_colors, cmax=cmax,
+            dim=dim_, packed_fields=packed_fields, windows=gs_windows,
+            chain=gs_chain, rhs_mode="biased", pose_tab=pose_tab,
+            rhs_consts=rhs_consts, rhs_store=rhs0)
+        poses = integrate_velocity(poses, vels, bodies.local_mprops.com,
+                                   sub.dt)
+        vels, n_imp_s, t_imp_s, _ = gs_color_major_pass(
+            ss, vels, n_imp_s, t_imp_s, layout, num_colors, cmax=cmax,
+            dim=dim_, packed_fields=packed_fields, windows=gs_windows,
+            chain=gs_chain, rhs_mode="unbiased",
+            rhs_consts=rhs_consts, rhs_store=rhs_store)
+        return vels, poses, n_imp_s, t_imp_s
+
     def substep_gs(_, carry):
         vels, poses, n_imp_s, t_imp_s = carry
         vels = Velocity(vels.linear + inc, vels.angular)
@@ -1563,12 +1661,14 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             fused_substep1,
         )
 
-        src0 = int(pre_meta["t_rhs_wo_bias"][0])
+        _relin = ("t_rhs_wo_bias", "local_pt_a", "local_pt_b",
+                  "info_dist", "info_normal_vel")
+        src0 = min(int(pre_meta[f][0]) for f in _relin)
         f_srcT = pre_bigT[src0:]
         f_src_meta = {f: (int(pre_meta[f][0]) - src0, pre_meta[f][1])
-                      for f in ("t_rhs_wo_bias", "local_pt_a", "local_pt_b",
-                                "info_dist", "info_normal_vel")}
-        f_trwbT = pre_bigT[src0:src0 + f_p_max * f_s_len]
+                      for f in _relin}
+        _t0 = int(pre_meta["t_rhs_wo_bias"][0])
+        f_trwbT = pre_bigT[_t0:_t0 + f_p_max * f_s_len]
         f_scalars = (float(sub.warmstart_coefficient),
                      float(sub.contact_cfm_factor), float(sub.inv_dt),
                      float(sub.contact_erp_inv_dt),
@@ -1692,7 +1792,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             t_imp_s = tT.T.reshape(t_imp_s.shape)
         else:
             vels, poses, n_imp_s, t_imp_s = jax.lax.fori_loop(
-                0, params.num_solver_iterations, substep_gs,
+                0, params.num_solver_iterations,
+                substep_gs_rhs if use_rhs_rung else substep_gs,
                 (vels, bodies.poses, n_imp_s, t_imp_s))
         # unsort impulses once (next frame's warmstart source)
         if use_presorted:  # identity order: drop the padding rows

@@ -176,6 +176,26 @@ class PipelineConfig:
     # the slowest TPU op in the solve (~49 Mrow/s vs 135 Mrow/s gathers).
     # Requires gs_windows; unsharded, non-fused, non-jacobi.
     gs_chained: bool = False
+    # chained-sweep rhs-in-rung: each rung recomputes its substep rhs
+    # INSIDE the GS math kernel from poses ridden through the velocity
+    # stream (biased sweep) / the stored rhs_wo_bias (unbiased sweep) —
+    # the per-substep update_rhs_sorted phase (a 2C-row pose gather + XLA
+    # relinearization) disappears. Requires gs_chained; 3D, no joints.
+    gs_rhs_in_rung: bool = False
+    # fine-grained pair/contact capacity re-bucketing: ceil(1.10·n/1024)
+    # ·1024 instead of the 1.5x bucket ladder. Every capacity-sized pass
+    # (narrow phase, warmstart sides, rhs gathers) pays bucket overshoot
+    # every frame and the solve is gather-ROW bound on TPU; in a settled
+    # scene counts drift slowly, so the tighter buckets trade a few extra
+    # growth recompiles for 10-25% fewer gathered rows.
+    fine_capacities: bool = False
+    # GS window-ladder rung quantization + growth headroom (step_checked
+    # re-bucketing): rung = max(quantum, ceil(headroom·count/quantum)
+    # ·quantum). Sweep cost tracks sum(windows) rows, so tighter rungs cut
+    # the per-color gather volume at the price of more frequent rung
+    # regrows when classes drift.
+    gs_rung_quantum: int = 256
+    gs_rung_headroom: float = 1.15
 
 
 def _has_mesh(shapes: ShapeSet) -> bool:
@@ -758,6 +778,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         fused_class_counts=fused_class_counts,
         fused_pallas=config.gs_fused_pallas,
         chained=config.gs_chained,
+        rhs_in_rung=config.gs_rhs_in_rung,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops)
     counts = jnp.concatenate([
@@ -804,6 +825,13 @@ def multi_step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     return out
 
 
+def fine_bucket(n: int, *, floor: int = 2048, quantum: int = 1024,
+                headroom: float = 1.10) -> int:
+    """Fine-grained capacity bucket: ``headroom``·n rounded up to a
+    ``quantum`` multiple (see ``PipelineConfig.fine_capacities``)."""
+    return max(floor, -(-int(int(n) * headroom) // quantum) * quantum)
+
+
 def step_checked(state: PhysicsState, params: SimParams,
                  config: PipelineConfig, stats: RunStats | None = None):
     """Host wrapper: step, then re-bucket pair capacity and re-run if the
@@ -846,12 +874,14 @@ def step_checked(state: PhysicsState, params: SimParams,
         else:
             regrow.update(grown)
         counts[0] = -counts[0]
+    bucket = fine_bucket if config.fine_capacities else \
+        (lambda n: capacity_bucket(n))
     if int(counts[0]) > config.pair_capacity:
-        regrow["pair_capacity"] = capacity_bucket(int(counts[0]))
+        regrow["pair_capacity"] = bucket(int(counts[0]))
     if (config.contact_capacity and not config.gs_fused
             and int(counts[1]) > config.contact_capacity):
         # (fused layout sizes the buffer from the rungs, not this knob)
-        regrow["contact_capacity"] = capacity_bucket(int(counts[1]))
+        regrow["contact_capacity"] = bucket(int(counts[1]))
     if config.gs_cmax and int(counts[2]) > config.gs_cmax:
         regrow["gs_cmax"] = capacity_bucket(int(counts[2]), floor=256)
     if (config.gs_tail_window and len(counts) > 4
@@ -875,14 +905,16 @@ def step_checked(state: PhysicsState, params: SimParams,
         while len(rungs) < config.max_colors:
             rungs.append(rungs[-1] if rungs else 256)
         changed = False
+        q = config.gs_rung_quantum
+        hr = config.gs_rung_headroom
         for c in range(config.max_colors):
             occ = int(cc[c + 1])
             if occ > rungs[c]:
-                # 256-granular with 15% headroom: the whole point of the
+                # quantum-granular with headroom: the whole point of the
                 # ladder is window rows ≈ class rows, so the coarse 1.5x
                 # capacity buckets (which overshot to MORE total rows than
                 # the uniform split scheme) are wrong here
-                rungs[c] = max(256, -(-occ * 23 // 20 // 256) * 256)
+                rungs[c] = max(q, -(-int(occ * hr) // q) * q)
                 changed = True
         if not config.gs_fused:
             # prune rungs past the last occupied class (keep ONE spare as
