@@ -46,6 +46,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+# LLVM-JIT'd executables exhaust vm.max_map_count long before RAM (the
+# round-1 "segfault after ~120 compiles" root cause — core/hostmem.py);
+# mostly a CPU-backend concern, but cheap insurance for any backend.
+from wgmath_tpu.core import hostmem
+
+hostmem.raise_map_limit()
+
 
 def _log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
@@ -109,6 +116,22 @@ def bench_gemm():
 
             t = abs_time(make, (a, b), k0=64 if n == 1024 else 8)
             out[f"gemm{n}_f32_{prec}_tflops"] = 2 * n**3 / t / 1e12
+
+        if n == 4096:
+            # device-ceiling cross-check: XLA's own precision=highest dot on
+            # the SAME harness. If the Pallas number sits at/above this, the
+            # gap to the 30 TF north star is the chip's 6-pass f32 ceiling,
+            # not kernel slack (round-3 finding: XLA reads 29.4 here).
+            def make_xla(k):
+                @jax.jit
+                def f(a, b):
+                    def body(i, c):
+                        return jnp.dot(c, b, precision="highest")
+                    return jax.lax.fori_loop(0, k, body, a)
+                return f
+
+            t = abs_time(make_xla, (a, b), k0=8)
+            out["gemm4096_xla_highest_tflops"] = 2 * n**3 / t / 1e12
     return out
 
 
@@ -351,12 +374,19 @@ def physics_steady_setup(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
         config = _dc.replace(settle_cfg, bp_slack=0.035)
     else:
         # walled pit: reaches a genuinely quiescent jammed state (the open
-        # `balls` scene scatters and rolls forever — no rolling resistance)
+        # `balls` scene scatters and rolls forever — no rolling resistance).
+        # Capacities are seeded at the KNOWN settled values for this scene
+        # (pair=49152 / contact=32768 / gs_cmax=4096 / tail=1536 / bc=4096,
+        # BENCH_NOTES round-2): every capacity regrow during settle is a
+        # fresh multi-minute remote compile over the 30 ms tunnel — the
+        # round-3 driver run died in exactly that loop (25 min, killed at
+        # frame ~195/900, BENCH_r03.json rc=124). Seeding steady makes the
+        # cold path one compile + cheap steps.
         state = ball_pit(n_bodies)
         config = PipelineConfig(
-            pair_capacity=4096, contact_capacity=2048, max_colors=24,
-            broad_phase_block=512, gs_cmax=1024, bp_slack=0.035,
-            bc_pair_capacity=4096, gs_tail_window=512,
+            pair_capacity=49152, contact_capacity=32768, max_colors=24,
+            broad_phase_block=512, gs_cmax=4096, bp_slack=0.035,
+            bc_pair_capacity=4096, gs_tail_window=1536,
             manifold_points=auto_manifold_points(
                 state.shapes, 3,
                 dynamic=np.asarray(state.bodies.is_dynamic())))
@@ -405,7 +435,8 @@ def physics_steady_setup(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     return state, params, steady_base, ladder
 
 
-def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
+def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
+                  deadline=None, all_candidates=False):
     """Times the *settled* contact-rich regime — the honest hot path for
     benchmark config 5.
 
@@ -429,30 +460,42 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
 
     state, params, steady_base, ladder = physics_steady_setup(
         n_bodies, settle_frames, calm_vel)
+    # Default candidate list is pruned to the correctness reference (ladder)
+    # + the round-3 winner (chained_rr) + the probed fused-Pallas path: each
+    # extra candidate costs 4 remote compiles + 4 timed K=50 runs of tunnel
+    # time, and uniform/chained/fused_xla never won a round
+    # (--all-candidates restores them for solver-path studies).
     candidates = [
         ("ladder", ladder),
-        # scatter-free chained sweep: per-color static stream writes +
-        # cached last-writer gathers + merged impulse matrix (validated
-        # exact on device 2026-08-19; ~1.15x the ladder at 10k)
-        ("chained", _dc.replace(ladder, gs_chained=True)),
-        # + in-kernel rhs relinearization (poses ride the stream; the
-        # per-substep update_rhs_sorted phase disappears) — bitwise-exact
-        # vs the ladder on device, 77.6 steps/s (2026-08-19)
+        # chained sweep + in-kernel rhs relinearization (poses ride the
+        # stream; the per-substep update_rhs_sorted phase disappears) —
+        # bitwise-exact vs the ladder on device, 77.6 steps/s (2026-08-19)
         ("chained_rr", _dc.replace(ladder, gs_chained=True,
                                    gs_rhs_in_rung=True)),
         # FUSED solver (whole sweep / build / warmstart+rhs / integration
         # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
-        ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256)),
-        # same fused formulation lowered by XLA (wide lane gathers +
-        # inverse-permutation scatter)
-        ("fused_xla", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
-                                  gs_fused_pallas=False)),
-        ("uniform", steady_base),
+        ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
+                              gs_fused_pallas=True)),
     ]
+    if all_candidates:
+        candidates[2:2] = [
+            # scatter-free chained sweep without rhs-in-rung
+            ("chained", _dc.replace(ladder, gs_chained=True)),
+        ]
+        candidates += [
+            # the fused formulation lowered by XLA (wide lane gathers +
+            # inverse-permutation scatter)
+            ("fused_xla", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
+                                      gs_fused_pallas=False)),
+            ("uniform", steady_base),
+        ]
     K = 50
     ref_pos = None  # ladder's end-of-run positions (correctness gate)
     timed = {}  # name -> (t_per_step, out, cfg)
     for name, cand in candidates:
+        if timed and deadline is not None and time.time() > deadline:
+            _log(f"physics candidate {name} skipped: wall budget exhausted")
+            continue
         if name == "fused" and not _fused_pallas_supported():
             _log("physics fused[pallas] skipped (probe: Mosaic lacks "
                  "multi-vreg dynamic_gather)")
@@ -529,48 +572,22 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
     return res
 
 
-def main(argv=None):
-    import argparse
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--only", default=None,
-                    help="comma-separated bench subset (gemm,gemv,geometry,"
-                         "fused,rays,physics); default = all")
-    ns = ap.parse_args(argv)
-    only = set(ns.only.split(",")) if ns.only else None
+# north-star targets (BASELINE.md): 90% of f32 MXU roofline on v5e
+# (≈ 197 bf16-TF/s ÷ 6 passes ≈ 33 TF → target 0.9×33 ≈ 30 for
+# precision=highest) and 60 Hz at 10k bodies.
+TARGETS = {
+    "gemm4096_f32_highest_tflops": 30.0,
+    "physics_10k_steps_per_s": 60.0,
+    "quat_rotate_1m_gops": 10.0,
+    "raycast_100k_mrays_s": 100.0,
+}
 
-    results = {}
-    fails = {}
-    benches = [("gemm", bench_gemm), ("gemv", bench_gemv),
-               ("geometry", bench_geometry), ("fused", bench_fused_graph),
-               ("rays", bench_rays), ("physics", bench_physics)]
-    if only:
-        benches = [(n, f) for n, f in benches if n in only]
-    for name, fn in benches:
-        try:
-            t0 = time.time()
-            _log(f"start {name}")
-            out = fn()
-            results.update(out)
-            results[f"_{name}_bench_wall_s"] = round(time.time() - t0, 1)
-            _log(f"done {name}: {out}")
-        except Exception as e:  # pragma: no cover
-            fails[name] = f"{type(e).__name__}: {e}"
-            _log(f"FAIL {name}: {e}")
 
-    # north-star targets (BASELINE.md): 90% of f32 MXU roofline on v5e
-    # (≈ 197 bf16-TF/s ÷ 6 passes ≈ 33 TF → target 0.9×33 ≈ 30 for
-    # precision=highest) and 60 Hz at 10k bodies.
-    targets = {
-        "gemm4096_f32_highest_tflops": 30.0,
-        "physics_10k_steps_per_s": 60.0,
-        "quat_rotate_1m_gops": 10.0,
-        "raycast_100k_mrays_s": 100.0,
-    }
-    ratios = {k: results[k] / t for k, t in targets.items() if k in results}
+def _score_line(results, fails, partial):
+    ratios = {k: results[k] / t for k, t in TARGETS.items() if k in results}
     scores = list(ratios.values())
     vs = (math.exp(sum(math.log(max(s, 1e-9)) for s in scores) / len(scores))
           if scores else 0.0)
-
     line = {
         "metric": "bench_score_geomean_vs_targets",
         "value": round(vs, 4),
@@ -582,9 +599,73 @@ def main(argv=None):
         "details": {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in results.items()},
     }
+    if partial:
+        line["partial"] = True
     if fails:
         line["failures"] = fails
-    print(json.dumps(line))
+    return line
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated bench subset (gemm,gemv,geometry,"
+                         "fused,rays,physics); default = all")
+    ap.add_argument("--all-candidates", action="store_true",
+                    help="physics: time the historical solver paths too "
+                         "(chained, fused_xla, uniform) — costs ~4 remote "
+                         "compiles + 4 timed runs each")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
+                    help="wall-clock budget: once exceeded, remaining "
+                         "benches/candidates are skipped and the current "
+                         "consolidated score line is the final one "
+                         "(default env BENCH_BUDGET_S or 1500)")
+    ns = ap.parse_args(argv)
+    only = set(ns.only.split(",")) if ns.only else None
+    deadline = time.time() + ns.budget_s
+
+    results = {}
+    fails = {}
+    # target-bearing benches FIRST (gemm/physics/geometry/rays feed the
+    # geomean): if the wall budget truncates the run, the score line still
+    # carries every headline number
+    benches = [
+        ("gemm", bench_gemm),
+        ("physics", functools.partial(
+            bench_physics, deadline=deadline,
+            all_candidates=ns.all_candidates)),
+        ("geometry", bench_geometry),
+        ("rays", bench_rays),
+        ("gemv", bench_gemv),
+        ("fused", bench_fused_graph),
+    ]
+    if only:
+        benches = [(n, f) for n, f in benches if n in only]
+    for i, (name, fn) in enumerate(benches):
+        if i and time.time() > deadline:
+            fails[name] = "skipped: wall budget exhausted"
+            _log(f"skip {name}: wall budget exhausted")
+            continue
+        try:
+            t0 = time.time()
+            _log(f"start {name}")
+            out = fn()
+            results.update(out)
+            results[f"_{name}_bench_wall_s"] = round(time.time() - t0, 1)
+            _log(f"done {name}: {out}")
+        except Exception as e:  # pragma: no cover
+            fails[name] = f"{type(e).__name__}: {e}"
+            _log(f"FAIL {name}: {e}")
+        # emit the consolidated line incrementally (LAST one wins): if the
+        # driver's timeout kills this process mid-bench, the numbers done so
+        # far are still on stdout — round 3 lost a finished GEMM/ray suite
+        # to a physics-settle timeout (BENCH_r03.json rc=124, parsed null)
+        if i < len(benches) - 1:
+            print(json.dumps(_score_line(results, fails, partial=True)),
+                  flush=True)
+    print(json.dumps(_score_line(results, fails, partial=False)), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,54 +29,34 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-# XLA CPU (jax 0.9) reliably SEGFAULTs/aborts when loading roughly the
-# ~118th compiled executable of a process — reproduced at whatever test hits
-# that count regardless of collection order, compile-vs-cache-read path, or
-# which test it is (each crasher passes standalone; a fresh same-host
-# compile cache does not help, so it is executable COUNT, not staleness).
-# Until the upstream bug is fixed, any invocation transparently splits
-# itself: tests run in this process up to a compile-weighted budget, the
-# rest re-exec as a child pytest (which recursively splits again). Weights
-# approximate compiled-executables-per-test so compile-heavy pipeline
-# suites split earlier (test_physics alone crashed at ~25 tests).
-_BUDGET = 80
-# executables-per-test estimates by file (default 1)
-_WEIGHT = {"test_physics": 4, "test_scenes": 4, "test_parallel": 4,
-           "test_oracle": 3, "test_mesh_accel": 3, "test_gs_fused": 3,
-           "test_standalone_shapes": 3, "test_joints": 2, "test_queries": 2}
+# The round-1 "XLA CPU segfaults after ~120 cold compiles" flake was
+# root-caused (2026-08-20, /proc poller: crash at maps=64209) to
+# vm.max_map_count exhaustion — every LLVM-JIT'd executable holds many mmap
+# regions; big pipeline programs hold thousands. Raise the kernel cap
+# up front and, as a fallback for environments where that write fails,
+# drop JAX's executable caches between tests when map pressure nears the
+# cap (the persistent compile cache makes reloads cheap).
+from wgmath_tpu.core import hostmem  # noqa: E402
+
+if not hostmem.raise_map_limit():
+    import warnings
+
+    warnings.warn("could not raise vm.max_map_count; relying on the "
+                  "map-pressure guard (cache clears between tests)")
 
 
-def _fname(it):
-    return it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+def pytest_runtest_teardown(item, nextitem):
+    if hostmem.map_pressure_guard():
+        print(f"\n[conftest] map pressure: cleared jax caches "
+              f"(now {hostmem.current_map_count()} maps)")
 
 
 def pytest_collection_modifyitems(config, items):
     # heavyweight pipeline suites first (best -x fail-fast signal)
     order = {"test_physics": 0, "test_scenes": 1, "test_parallel": 2,
              "test_queries": 3, "test_joints": 4, "test_lbvh": 5}
-    items.sort(key=lambda it: order.get(_fname(it), 10))
-    spent = 0
-    for i, it in enumerate(items):
-        spent += _WEIGHT.get(_fname(it), 1)
-        if spent > _BUDGET and i + 1 < len(items):
-            config._wgmath_rest = [x.nodeid for x in items[i + 1:]]
-            del items[i + 1:]
-            break
 
+    def fname(it):
+        return it.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
 
-def pytest_sessionfinish(session, exitstatus):
-    rest = getattr(session.config, "_wgmath_rest", None)
-    if not rest or exitstatus != 0:
-        return
-    import subprocess
-    import sys
-
-    args = [sys.executable, "-m", "pytest", "-q"]
-    for flag in ("-x",):
-        if session.config.getoption("exitfirst", False):
-            args.append(flag)
-    r = subprocess.run(args + rest,
-                       cwd=os.path.dirname(os.path.dirname(
-                           os.path.abspath(__file__))))
-    if r.returncode != 0:
-        session.exitstatus = r.returncode
+    items.sort(key=lambda it: order.get(fname(it), 10))

@@ -800,6 +800,61 @@ def test_incremental_pair_recolor_stays_valid():
         assert len(np.unique(touched)) == len(touched), f"color {col} clash"
 
 
+def test_minimize_colors_valid_and_fewer():
+    """The TOPO-GC-style reseating pass (solver.minimize_colors ≙ the
+    reference's primary min-color colorer, coloring.rs:220-325) must keep
+    the coloring valid (same-color pairs dynamic-body-disjoint), respect
+    the class cap, never add classes, and actually drain classes on a
+    deliberately wasteful input coloring."""
+    from wgmath_tpu.dynamics.solver import color_pairs, minimize_colors
+
+    rng = np.random.default_rng(11)
+    n_bodies, cap, max_colors = 300, 1024, 16
+    dyn = jnp.asarray(rng.random(n_bodies) > 0.1)
+    seen, pairs = set(), []
+    while len(pairs) < 700:
+        a, b = sorted(rng.integers(0, n_bodies, 2).tolist())
+        if a != b and (a, b) not in seen and (dyn[a] or dyn[b]):
+            seen.add((a, b))
+            pairs.append((a, b))
+    ba = jnp.asarray([p[0] for p in pairs] + [0] * (cap - 700), jnp.int32)
+    bb = jnp.asarray([p[1] for p in pairs] + [0] * (cap - 700), jnp.int32)
+    valid = jnp.asarray([True] * 700 + [False] * (cap - 700))
+
+    def check_valid(cols, class_cap):
+        d, a_np, b_np = np.asarray(dyn), np.asarray(ba), np.asarray(bb)
+        v = np.asarray(valid)
+        for col in np.unique(cols[v & (cols > 0)]):
+            sel = v & (cols == col)
+            if class_cap:
+                assert sel.sum() <= class_cap, f"cap violated at {col}"
+            touched = np.concatenate([a_np[sel][d[a_np[sel]]],
+                                      b_np[sel][d[b_np[sel]]]])
+            assert len(np.unique(touched)) == len(touched), \
+                f"color {col} clash"
+
+    # wasteful base coloring: only 2 claim rounds → sparse high classes
+    base = color_pairs(ba, bb, valid, dyn[ba], dyn[bb], n_bodies,
+                       max_colors=max_colors, claim_rounds=1)
+    b_np = np.asarray(base)
+    v = np.asarray(valid)
+    assert (b_np[v] > 0).all(), "baseline colored everything"
+    n_before = len(np.unique(b_np[v]))
+
+    for class_cap in (0, 96):
+        out = np.asarray(minimize_colors(
+            ba, bb, valid, base, dyn[ba], dyn[bb], n_bodies,
+            max_colors=max_colors, sweeps=2, class_cap=class_cap))
+        check_valid(out, class_cap)
+        assert (out[v] > 0).all(), "reseating never uncolors a pair"
+        n_after = len(np.unique(out[v]))
+        assert n_after <= n_before
+        if not class_cap:
+            # the 1-round Luby coloring leaves plenty of slack: reseating
+            # must reclaim at least one class on this graph
+            assert n_after < n_before, (n_before, n_after)
+
+
 @pytest.mark.parametrize("p_max", [1, 4])
 def test_cm_gs_math_matches_row_major(p_max):
     """The component-major GS impulse math (the Pallas sweep kernel body)

@@ -316,6 +316,94 @@ def assign_new_pair_colors(ba, bb, valid, colors, dyn_a, dyn_b,
     return colors
 
 
+def minimize_colors(ba, bb, valid, colors, dyn_a, dyn_b, num_bodies: int,
+                    *, max_colors: int, sweeps: int = 2, class_cap: int = 0):
+    """Color-count minimization: reseat edges to the lowest free color.
+
+    TPU-native analog of the reference's primary TOPO-GC colorer, which
+    iteratively assigns min-available colors and fixes conflicts
+    (/root/reference/crates/wgrapier/src/dynamics/coloring.rs:220-325) —
+    its Luby MIS scheme is only the fallback there, while ``color_pairs``
+    made Luby primary here. This pass runs AFTER a Luby coloring and walks
+    source color classes top-down, moving every edge of the class to its
+    lowest color unused at both dynamic endpoints. A color class is an
+    independent set (no two same-color edges share a body), so all its
+    moves commute — no conflict-fix round is needed, unlike the per-vertex
+    sequential reference. High classes drain into low ones; emptied
+    trailing classes shorten the GS rung ladder directly (sweep dispatch
+    cost ∝ occupied colors).
+
+    ``class_cap`` > 0 keeps destination classes within the GS window
+    budget: arrivals are rank-capped per destination (same contract as the
+    claim scheme's cap). Cost: sweeps × max_colors fori iterations of
+    C×(max_colors+1) bool work — only paid at full-recolor boundaries.
+    """
+    c = ba.shape[0]
+    mc = max_colors + 1
+    col_ids = jnp.arange(mc, dtype=jnp.int32)
+    ba_s = jnp.minimum(ba, num_bodies - 1)
+    bb_s = jnp.minimum(bb, num_bodies - 1)
+
+    def build_used(colors):
+        rows2 = jnp.concatenate([
+            jnp.where(valid & dyn_a & (colors > 0), ba, num_bodies),
+            jnp.where(valid & dyn_b & (colors > 0), bb, num_bodies)])
+        cols2 = jnp.concatenate([colors, colors]).astype(jnp.int32)
+        used = jnp.zeros((num_bodies + 1, mc), bool)
+        return used.at[rows2, jnp.clip(cols2, 0, max_colors)].set(
+            True, mode="drop")
+
+    def one_sweep(_, colors):
+        used = build_used(colors)
+        counts = jax.ops.segment_sum(
+            (valid & (colors > 0)).astype(jnp.int32),
+            jnp.clip(colors, 0, max_colors), num_segments=mc)
+
+        def one_source(c_rev, state):
+            colors, used, counts = state
+            src = max_colors - c_rev  # descend max_colors .. 2
+            movers = valid & (colors == src)
+            # free at both dynamic endpoints, strictly below the source
+            free = (~(used[ba_s] & dyn_a[:, None])
+                    & ~(used[bb_s] & dyn_b[:, None])
+                    & (col_ids[None, :] < src) & (col_ids[None, :] > 0))
+            tgt = jnp.argmax(free, axis=1).astype(jnp.int32)  # lowest free
+            can = movers & jnp.take_along_axis(
+                free, tgt[:, None], axis=1)[:, 0]
+            if class_cap:
+                # rank arrivals per destination; late arrivals past the
+                # window budget stay at the source color
+                onehot = jnp.where(can[:, None], col_ids[None, :] == tgt[:, None],
+                                   False).astype(jnp.int32)
+                rank = jnp.cumsum(onehot, axis=0)
+                ok = jnp.take_along_axis(
+                    rank + counts[None, :], tgt[:, None], axis=1)[:, 0] \
+                    <= class_cap
+                can &= ok
+            colors = jnp.where(can, tgt, colors)
+            # movers are an independent set: unique bodies → plain scatter.
+            # Only SET the destinations (sources are never re-consulted:
+            # later iterations target colors < src) — used is rebuilt per
+            # sweep so cleared sources come back correct next sweep.
+            rows2 = jnp.concatenate([
+                jnp.where(can & dyn_a, ba, num_bodies),
+                jnp.where(can & dyn_b, bb, num_bodies)])
+            tgt2 = jnp.concatenate([tgt, tgt])
+            used = used.at[rows2, tgt2].set(True, mode="drop")
+            moved = jax.ops.segment_sum(can.astype(jnp.int32),
+                                        jnp.where(can, tgt, 0),
+                                        num_segments=mc)
+            moved = moved.at[0].set(0)
+            counts = counts + moved - moved.sum() * (col_ids == src)
+            return colors, used, counts
+
+        colors, _, _ = jax.lax.fori_loop(0, max_colors - 1, one_source,
+                                         (colors, used, counts))
+        return colors
+
+    return jax.lax.fori_loop(0, sweeps, one_sweep, colors)
+
+
 # ---------------------------------------------------------------------------
 # Shared per-constraint impulse math (one point-loop used by GS and Jacobi)
 # ---------------------------------------------------------------------------

@@ -134,6 +134,13 @@ class PipelineConfig:
     # sweep cost ∝ classes while the recolor itself is amortized over the
     # BP-cache lifetime.
     bp_claim_rounds: int = 4
+    # TOPO-GC-style color-count minimization sweeps after a full Luby
+    # recolor (solver.minimize_colors ≙ the reference's primary min-color
+    # pass, coloring.rs:220-325): reseat edges into the lowest free color,
+    # draining high classes. Fewer occupied classes = fewer GS rungs =
+    # less per-sweep dispatch; cost is only paid at recolor boundaries.
+    # 0 disables.
+    bp_min_color_sweeps: int = 0
     # incremental BP repair: when 1..bp_repair_cap bodies escape their
     # inflated reference boxes, only their pair rows are recomputed (one
     # [E, N] brute pass against the cached reference boxes) and merged into
@@ -162,10 +169,13 @@ class PipelineConfig:
     gs_fused: bool = False
     # fused-path backend: True = Pallas kernels (VMEM-resident sweep).
     # False = the same fused formulation lowered by XLA (wide lane
-    # gathers + inverse-permutation "scatter"): the fallback when Mosaic
-    # rejects tpu.dynamic_gather at multi-tile lane widths ("Multiple
-    # source vregs along gather dimension", observed on v5e / jax 0.9).
-    gs_fused_pallas: bool = True
+    # gathers + inverse-permutation "scatter"). Default False: Mosaic on
+    # v5e / jax 0.9 rejects tpu.dynamic_gather at multi-tile lane widths
+    # ("Multiple source vregs along gather dimension"), and the round-2
+    # builder/integrate Pallas kernels were observed to compile-but-
+    # miscompute on real TPU (BENCH_NOTES "Mosaic findings 08-18") — the
+    # Pallas backend is opt-in for backends where it validates.
+    gs_fused_pallas: bool = False
     # static budget for the uncolored residue class (color 0, parked
     # unswept for a frame) in the fused layout; host-grown on overflow
     gs_rung0: int = 256
@@ -433,11 +443,21 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         dyn = dyn_mask
 
         def recolor():
-            return color_pairs(p.body_a, p.body_b, p.valid,
+            cols = color_pairs(p.body_a, p.body_b, p.valid,
                                dyn[p.body_a], dyn[p.body_b], n_bodies,
                                max_colors=config.max_colors,
                                claim_rounds=config.bp_claim_rounds,
                                class_cap=config.gs_cmax)
+            if config.bp_min_color_sweeps:
+                from wgmath_tpu.dynamics.solver import minimize_colors
+
+                cols = minimize_colors(p.body_a, p.body_b, p.valid, cols,
+                                       dyn[p.body_a], dyn[p.body_b],
+                                       n_bodies,
+                                       max_colors=config.max_colors,
+                                       sweeps=config.bp_min_color_sweeps,
+                                       class_cap=config.gs_cmax)
+            return cols
 
         if reuse is None:
             cols = recolor()
