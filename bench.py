@@ -168,9 +168,16 @@ def bench_geometry():
     def make_rot(k):
         @jax.jit
         def f(q, v):
+            # SoA tuple-of-rows chain (quat.split_soa): every [N, 3/4]
+            # stacked-array boundary in a chained pipeline re-materializes
+            # a buffer XLA won't fuse through; tuple rows fuse end-to-end
+            # (same finding as sim3: 2.3 -> 10.8 Gop/s)
+            qs = quat.split_soa(q)
+
             def body(i, vv):
-                return quat.mul_vec(q, vv)
-            return jax.lax.fori_loop(0, k, body, v)
+                return quat.mul_vec_soa(qs, vv)
+            out = jax.lax.fori_loop(0, k, body, quat.split_soa(v))
+            return quat.merge_soa(out)
         return f
 
     t_rot = abs_time(make_rot, (qj, vj), k0=128)
@@ -181,12 +188,18 @@ def bench_geometry():
 
         @jax.jit
         def f(q, t):
-            s0 = Sim(q, t, jnp.ones((n,), jnp.float32))
+            # component-major storage ([4/3, N]) is the TPU-native layout
+            # for flat transform batches: full 128-lane occupancy with NO
+            # per-op relayouts (row-major [N, 4] chains measured 2.3 Gop/s
+            # — bounded by two [N,4]<->[4,N] transposes per iteration that
+            # XLA cannot cancel across the loop-carry boundary)
+            s0 = sim_ops.to_cm(Sim(q, t, jnp.ones((n,), jnp.float32)))
 
             def body(i, s):
                 out = sim_ops.mul(s, sim_ops.inv(s0))
-                return Sim(quat.normalize(out.rotation), out.translation,
-                           jnp.clip(out.scale, 0.5, 2.0))
+                out = sim_ops.normalize_rotation(out)
+                return Sim(out.rotation, out.translation,
+                           jnp.clip(out.scale, 0.5, 2.0), cm=True)
             return jax.lax.fori_loop(0, k, body, s0).translation
         return f
 

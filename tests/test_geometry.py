@@ -237,3 +237,106 @@ def test_svd_degenerate():
                                  "geometry.inv", "geometry.decomp"])
 def test_geometry_modules_lower(mod):
     assert compile_check(mod)
+
+
+def test_component_major_fast_paths_match():
+    """quat.mul/normalize and sim.mul/inv/inv_mul route large flat batches
+    through component-major ([C, N]) arithmetic for TPU lane occupancy —
+    the fast branch must be numerically identical to the row-major path
+    (checked by driving the same rows through both, above and below the
+    _CM_MIN_BATCH threshold)."""
+    from wgmath_tpu.geometry import sim
+
+    rng = np.random.default_rng(7)
+    n = quat._CM_MIN_BATCH + 128
+    m = 512  # slow-path slice
+    q1 = rng.normal(size=(n, 4)).astype(np.float32)
+    q1 /= np.linalg.norm(q1, axis=-1, keepdims=True)
+    q2 = rng.normal(size=(n, 4)).astype(np.float32)
+    q2 /= np.linalg.norm(q2, axis=-1, keepdims=True)
+    t1 = rng.normal(size=(n, 3)).astype(np.float32)
+    t2 = rng.normal(size=(n, 3)).astype(np.float32)
+    s1 = rng.uniform(0.5, 2, n).astype(np.float32)
+    s2 = rng.uniform(0.5, 2, n).astype(np.float32)
+
+    big = quat.mul(jnp.asarray(q1), jnp.asarray(q2))
+    small = quat.mul(jnp.asarray(q1[:m]), jnp.asarray(q2[:m]))
+    assert_close(np.asarray(big[:m]), np.asarray(small), rtol=1e-6, atol=1e-6)
+
+    bign = quat.normalize(jnp.asarray(q1 * 3))
+    smalln = quat.normalize(jnp.asarray(q1[:m] * 3))
+    assert_close(np.asarray(bign[:m]), np.asarray(smalln),
+                 rtol=1e-6, atol=1e-6)
+
+    A = sim.Sim(jnp.asarray(q1), jnp.asarray(t1), jnp.asarray(s1))
+    B = sim.Sim(jnp.asarray(q2), jnp.asarray(t2), jnp.asarray(s2))
+    As = sim.Sim(jnp.asarray(q1[:m]), jnp.asarray(t1[:m]), jnp.asarray(s1[:m]))
+    Bs = sim.Sim(jnp.asarray(q2[:m]), jnp.asarray(t2[:m]), jnp.asarray(s2[:m]))
+    for f in (sim.mul, sim.inv_mul):
+        out_b, out_s = f(A, B), f(As, Bs)
+        assert_close(np.asarray(out_b.rotation[:m]), np.asarray(out_s.rotation),
+                     rtol=1e-6, atol=1e-6)
+        assert_close(np.asarray(out_b.translation[:m]),
+                     np.asarray(out_s.translation), rtol=1e-5, atol=2e-6)
+        assert_close(np.asarray(out_b.scale[:m]), np.asarray(out_s.scale),
+                     rtol=1e-6, atol=1e-6)
+    inv_b, inv_s = sim.inv(A), sim.inv(As)
+    assert_close(np.asarray(inv_b.rotation[:m]), np.asarray(inv_s.rotation),
+                 rtol=1e-6, atol=1e-6)
+    assert_close(np.asarray(inv_b.translation[:m]),
+                 np.asarray(inv_s.translation), rtol=1e-5, atol=2e-6)
+
+
+def test_sim_component_major_storage_matches():
+    """cm=True SoA-tuple storage (to_cm/from_cm + mul/inv/inv_mul/
+    normalize_rotation/mul_pt) must reproduce the row-major chain."""
+    from wgmath_tpu.geometry import sim
+    from wgmath_tpu.geometry.sim import Sim
+
+    rng = np.random.default_rng(5)
+    n = 257
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(n, 3)).astype(np.float32)
+    s0 = Sim(jnp.asarray(q), jnp.asarray(t), jnp.ones((n,)))
+    c0 = sim.to_cm(s0)
+    assert c0.cm and c0.dim == 3
+
+    # chained compose+inv+renormalize, both layouts
+    s, c = s0, c0
+    for _ in range(4):
+        out = sim.mul(s, sim.inv(s0))
+        s = Sim(quat.normalize(out.rotation), out.translation,
+                jnp.clip(out.scale, 0.5, 2.0))
+        outc = sim.normalize_rotation(sim.mul(c, sim.inv(c0)))
+        c = Sim(outc.rotation, outc.translation,
+                jnp.clip(outc.scale, 0.5, 2.0), cm=True)
+    back = sim.from_cm(c)
+    assert_close(np.asarray(back.rotation), np.asarray(s.rotation),
+                 rtol=1e-5, atol=1e-5)
+    assert_close(np.asarray(back.translation), np.asarray(s.translation),
+                 rtol=1e-4, atol=1e-5)
+    assert_close(np.asarray(back.scale), np.asarray(s.scale),
+                 rtol=1e-6, atol=1e-6)
+
+    # inv_mul + mul_pt
+    b = sim.mul(s0, s0)
+    cb = sim.to_cm(b)
+    im = sim.from_cm(sim.inv_mul(c0, cb))
+    im_ref = sim.inv_mul(s0, b)
+    assert_close(np.asarray(im.translation), np.asarray(im_ref.translation),
+                 rtol=1e-4, atol=1e-5)
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    pc = quat.split_soa(jnp.asarray(p))
+    got = quat.merge_soa(sim.mul_pt(c0, pc))
+    assert_close(np.asarray(got), np.asarray(sim.mul_pt(s0, jnp.asarray(p))),
+                 rtol=1e-4, atol=1e-5)
+
+    # SoA quat helpers round-trip
+    qs = quat.split_soa(jnp.asarray(q))
+    assert_close(np.asarray(quat.merge_soa(quat.normalize_soa(qs))),
+                 np.asarray(quat.normalize(jnp.asarray(q))),
+                 rtol=1e-6, atol=1e-6)
+    assert_close(np.asarray(quat.merge_soa(quat.mul_soa(qs, qs))),
+                 np.asarray(quat.mul(jnp.asarray(q), jnp.asarray(q))),
+                 rtol=1e-5, atol=1e-6)

@@ -43,8 +43,83 @@ def to_scaled_axis(q: jax.Array) -> jax.Array:
     return xyz * scale
 
 
+def _mul_cm(a_t: jax.Array, b_t: jax.Array) -> jax.Array:
+    """Hamilton product on component-major ``[4, N]`` operands → ``[4, N]``."""
+    ax, ay, az, aw = a_t[0], a_t[1], a_t[2], a_t[3]
+    bx, by, bz, bw = b_t[0], b_t[1], b_t[2], b_t[3]
+    return jnp.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ])
+
+
+# minimum flat-batch size for the component-major fast paths: below this the
+# boundary transposes cost more than the lane-occupancy win
+_CM_MIN_BATCH = 32768
+
+
+def _mul_soa(a, b):
+    """Hamilton product on tuples of component rows (fully fusible SoA)."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz)
+
+
+def _mul_vec_soa(q, v):
+    """Rotate a tuple-of-rows vector by a tuple-of-rows unit quaternion."""
+    ux, uy, uz, w = q
+    vx, vy, vz = v
+    cx = uy * vz - uz * vy
+    cy = uz * vx - ux * vz
+    cz = ux * vy - uy * vx
+    dx = uy * cz - uz * cy
+    dy = uz * cx - ux * cz
+    dz = ux * cy - uy * cx
+    return (vx + 2.0 * (w * cx + dx),
+            vy + 2.0 * (w * cy + dy),
+            vz + 2.0 * (w * cz + dz))
+
+
+def _conj_soa(q):
+    ux, uy, uz, w = q
+    return (-ux, -uy, -uz, w)
+
+
+def _mul_vec_cm(q_t: jax.Array, v_t: jax.Array) -> jax.Array:
+    """Rotate component-major ``[3, N]`` vectors by ``[4, N]`` unit quats."""
+    ux, uy, uz, w = q_t[0], q_t[1], q_t[2], q_t[3]
+    vx, vy, vz = v_t[0], v_t[1], v_t[2]
+    cx = uy * vz - uz * vy
+    cy = uz * vx - ux * vz
+    cz = ux * vy - uy * vx
+    dx = uy * cz - uz * cy
+    dy = uz * cx - ux * cz
+    dz = ux * cy - uy * cx
+    return jnp.stack([vx + 2.0 * (w * cx + dx),
+                      vy + 2.0 * (w * cy + dy),
+                      vz + 2.0 * (w * cz + dz)])
+
+
+def _cm_eligible(*arrs) -> bool:
+    return all(a.ndim == 2 for a in arrs) and arrs[0].shape[0] >= _CM_MIN_BATCH
+
+
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Hamilton product a ⊗ b."""
+    """Hamilton product a ⊗ b.
+
+    Large flat batches go component-major (see ``mul_vec``): ``[N, 4]``
+    puts the 4-wide component axis on the 128-lane minor dim, wasting
+    124/128 lanes; transposing at the boundary runs the products at full
+    occupancy, and chained pipelines cancel adjacent transposes.
+    """
+    if _cm_eligible(a, b):
+        return _mul_cm(a.T, b.T).T
     ax, ay, az, aw = (a[..., i] for i in range(4))
     bx, by, bz, bw = (b[..., i] for i in range(4))
     return jnp.stack(
@@ -68,6 +143,11 @@ def inv(q: jax.Array) -> jax.Array:
 
 
 def normalize(q: jax.Array) -> jax.Array:
+    if _cm_eligible(q):
+        qt = q.T
+        inv_n = jax.lax.rsqrt(qt[0] * qt[0] + qt[1] * qt[1]
+                              + qt[2] * qt[2] + qt[3] * qt[3] + 1e-30)
+        return (qt * inv_n).T
     return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-30)
 
 
@@ -81,20 +161,8 @@ def mul_vec(q: jax.Array, v: jax.Array) -> jax.Array:
     cancels adjacent out/in transposes, leaving pure component-major compute
     (measured 5.96 → 12.95 Gop/s at 1M on v5e).
     """
-    if q.ndim == 2 and v.ndim == 2 and v.shape[0] >= 32768:
-        qt = q.T
-        vt = v.T
-        ux, uy, uz, w = qt[0], qt[1], qt[2], qt[3]
-        vx, vy, vz = vt[0], vt[1], vt[2]
-        cx = uy * vz - uz * vy
-        cy = uz * vx - ux * vz
-        cz = ux * vy - uy * vx
-        dx = uy * cz - uz * cy
-        dy = uz * cx - ux * cz
-        dz = ux * cy - uy * cx
-        return jnp.stack([vx + 2.0 * (w * cx + dx),
-                          vy + 2.0 * (w * cy + dy),
-                          vz + 2.0 * (w * cz + dz)]).T
+    if q.ndim == 2 and v.ndim == 2 and v.shape[0] >= _CM_MIN_BATCH:
+        return _mul_vec_cm(q.T, v.T).T
     u = q[..., :3]
     w = q[..., 3:4]
     uv = jnp.cross(u, v)
@@ -103,6 +171,39 @@ def mul_vec(q: jax.Array, v: jax.Array) -> jax.Array:
 
 def inv_mul_vec(q: jax.Array, v: jax.Array) -> jax.Array:
     return mul_vec(conj(q), v)
+
+
+def split_soa(arr: jax.Array) -> tuple:
+    """``[N, C]`` → tuple of C ``[N]`` component rows (TPU-native SoA).
+
+    For CHAINED elementwise pipelines, tuples of rows are the fast layout:
+    every stacked-array op boundary re-materializes a ``[N, C]`` (or
+    ``[C, N]``) buffer that XLA will not fuse through (a jnp.stack is a
+    concat), costing ~4x on v5e for the 1M rotate chain. Convert once,
+    chain with the ``*_soa`` ops, merge at the end.
+    """
+    return tuple(arr[:, i] for i in range(arr.shape[1]))
+
+
+def merge_soa(rows: tuple) -> jax.Array:
+    """Inverse of :func:`split_soa`."""
+    return jnp.stack(rows, axis=-1)
+
+
+def mul_vec_soa(q: tuple, v: tuple) -> tuple:
+    """SoA rotate: tuple-of-rows quaternion x tuple-of-rows vectors."""
+    return _mul_vec_soa(q, v)
+
+
+def mul_soa(a: tuple, b: tuple) -> tuple:
+    """SoA Hamilton product on tuples of component rows."""
+    return _mul_soa(a, b)
+
+
+def normalize_soa(q: tuple) -> tuple:
+    x, y, z, w = q
+    inv_n = jax.lax.rsqrt(x * x + y * y + z * z + w * w + 1e-30)
+    return (x * inv_n, y * inv_n, z * inv_n, w * inv_n)
 
 
 def to_matrix(q: jax.Array) -> jax.Array:

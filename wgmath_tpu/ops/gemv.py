@@ -54,9 +54,8 @@ def gemv_xla(a, x, *, transpose_a=False):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _gemv_pallas(a, x):
+def _gemv_pallas(a, x, bm: int = 256):
     m, k = a.shape
-    bm = 256
     # Stream A row-blocks; x resident in VMEM; lane-axis reduce on the VPU.
     # Output lives as one (n_blocks, bm) VMEM block — each grid step writes
     # row i; the reshape back to (m,) is free (row-major). Partial 1-D output
@@ -87,14 +86,13 @@ def _gemv_pallas(a, x):
     return out.reshape(m)
 
 
-def _gemv_tr_pallas(a, x):
+def _gemv_tr_pallas(a, x, bk: int = 256):
     """``a.T @ x`` for a [K, M]: stream K-blocks of A (M stays on lanes),
     accumulate the row-combination across the sequential TPU grid
     (≙ gemv.wgsl gemv_tr/gemv_tr_fast — the reference reduces with
     workgroup shared memory; here the VPU reduces along sublanes and the
     grid carry IS the accumulator)."""
     k, m = a.shape
-    bk = 256
     n_blocks = cdiv(k, bk)
 
     def kernel(a_ref, x_ref, o_ref):
