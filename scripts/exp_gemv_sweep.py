@@ -19,30 +19,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import importlib
+
 import bench  # noqa: F401  (compile cache config)
-from wgmath_tpu.ops import gemv as gemv_mod
+
+# the package re-exports the gemv FUNCTION under the submodule's name
+gemv_mod = importlib.import_module("wgmath_tpu.ops.gemv")
 
 N = 4096
-K_ITERS = 200
 
 
 def time_variant(name, fn, a, x):
-    @jax.jit
-    def run(a, x):
-        def body(i, v):
-            return fn(a, v)
-        return jax.lax.fori_loop(0, K_ITERS, body, x)
+    """bench.abs_time sizes K so the ~30 ms tunnel latency amortizes to
+    <4% (a fixed K=200 run measured 240 us/iter for a 100 us kernel —
+    pure latency pollution)."""
+    def make(k):
+        @jax.jit
+        def run(a, x):
+            def body(i, v):
+                return fn(a, v)
+            return jax.lax.fori_loop(0, k, body, x)
+        return run
 
-    out = jax.block_until_ready(run(a, x))
-    if not bool(jnp.all(jnp.isfinite(out))):
-        print(f"{name}: NON-FINITE, skipped")
-        return
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        jax.block_until_ready(run(a, x))
-        ts.append(time.time() - t0)
-    t = min(ts) / K_ITERS
+    try:
+        t = bench.abs_time(make, (a, x), k0=64)
+    except Exception as e:  # Mosaic/VMEM rejects oversized blocks
+        print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:120]})",
+              flush=True)
+        return None
     gbs = (N * N + 2 * N) * 4 / t / 1e9
     print(f"{name}: {t*1e6:.1f} us/iter = {gbs:.0f} GB/s", flush=True)
     return gbs
@@ -54,14 +58,15 @@ def main():
     x = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
 
     print("== plain gemv (row blocks) ==")
-    for bm in (128, 256, 512, 1024, 2048):
+    # scoped-VMEM limit is 16 MB: block x double-buffer caps bm*4096*4*2
+    for bm in (128, 256, 384, 512):
         time_variant(f"pallas bm={bm}",
                      lambda A, v, bm=bm: gemv_mod._gemv_pallas(A, v, bm=bm),
                      a, x)
     time_variant("xla", lambda A, v: gemv_mod.gemv_xla(A, v), a, x)
 
     print("== transposed gemv (K blocks) ==")
-    for bk in (128, 256, 512, 1024, 2048):
+    for bk in (128, 256, 384, 512):
         time_variant(f"pallas_tr bk={bk}",
                      lambda A, v, bk=bk: gemv_mod._gemv_tr_pallas(A, v, bk=bk),
                      a, x)

@@ -66,3 +66,38 @@ def test_live_viewer_draws_headless():
     v.draw(fig, ax)  # Agg canvas: draw must not require a window
     assert "balls2" in ax.get_title(loc="left")
     plt.close(fig)
+
+
+def test_live_viewer_instanced_mesh_mode_and_picker():
+    """'m' toggles instanced 3D mesh rendering (≙ graphics.rs:30-41) and
+    '[' / ']' cycle demo scenes live (≙ the egui demo picker, ui.rs)."""
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from wgmath_tpu.scenes.builders import SCENES
+
+    v = LiveViewer("boxes3", pair_capacity=8192, frames=2)
+    assert v.dim == 3 and not v.mesh_mode
+    v.on_key("m")
+    assert v.mesh_mode
+    v.advance()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    v.draw(fig, ax)  # instanced Poly3DCollection path, headless
+    assert len(ax.collections) >= 1
+    plt.close(fig)
+
+    # every body contributed oriented faces (boxes: 12 tris each)
+    pos = np.asarray(v.state.bodies.poses.translation)
+    rot = np.asarray(v.state.bodies.poses.rotation)
+    tris, cols = v._inst.world_polys(rot, pos, v.dynamic)
+    assert len(tris) == 12 * len(pos)
+    assert np.isfinite(tris).all()
+
+    # demo picker: ']' moves to the next scene name, state reloads
+    names = sorted(SCENES)
+    i = names.index("boxes3")
+    v.on_key("]")
+    assert v.scene == names[(i + 1) % len(names)] and v.frame == 0
+    v.on_key("[")
+    assert v.scene == "boxes3"

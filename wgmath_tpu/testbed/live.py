@@ -8,6 +8,9 @@ controls onto key bindings:
   space  pause / resume              (≙ the ui's run/pause toggle)
   t      switch solver TGS <-> Jacobi (≙ CPU/GPU x {TGS, Jacobi} picker)
   c      toggle the chained GS sweep  (backend variant switch)
+  m      toggle instanced 3D mesh rendering <-> scatter (3D scenes;
+         ≙ graphics.rs instanced shape meshes)
+  [ / ]  previous / next demo scene   (≙ the egui demo picker, ui.rs)
   n      single-step while paused
   r      reset the scene
   q      close
@@ -50,6 +53,8 @@ class LiveViewer:
         self.paused = False
         self.closed = False
         self.stats = RunStats()
+        self.mesh_mode = False  # instanced 3D meshes vs scatter blobs
+        self._inst = None
         self._load()
 
     # -- simulation ----------------------------------------------------------
@@ -71,6 +76,7 @@ class LiveViewer:
         self.lims = (-span, span)
         self.frame = 0
         self._times: list[float] = []
+        self._inst = None  # instanced meshes rebuild lazily per scene
 
     def _swap_backend(self, **changes):
         """Runtime backend switch: new config, same physics state. The
@@ -108,6 +114,13 @@ class LiveViewer:
         elif key == "c":
             self._swap_backend(gs_chained=not self.backend.gs_chained,
                                solver="tgs")
+        elif key == "m" and self.dim == 3:
+            self.mesh_mode = not self.mesh_mode
+        elif key in ("[", "]"):
+            names = sorted(SCENES)
+            i = names.index(self.scene) if self.scene in names else 0
+            self.scene = names[(i + (1 if key == "]" else -1)) % len(names)]
+            self._load()
         elif key == "n" and self.paused:
             self.advance()
         elif key == "r":
@@ -124,12 +137,26 @@ class LiveViewer:
                 f"{fps:5.1f} fps  pairs {int(counts[0])}  "
                 f"contacts {int(counts[1])}  "
                 f"{'PAUSED' if self.paused else ''}\n"
-                "space pause | t solver | c chained | n step | r reset | q quit")
+                "space pause | t solver | c chained | m mesh | [/] scene | "
+                "n step | r reset | q quit")
 
     def draw(self, fig, ax) -> None:
         ax.clear()
         pos = np.asarray(self.state.bodies.poses.translation)
-        _render_scatter(ax, pos, self.size, self.dynamic, self.lims, self.dim)
+        if self.mesh_mode and self.dim == 3:
+            from wgmath_tpu.testbed.instanced import (
+                InstancedScene,
+                render_instanced,
+            )
+
+            if self._inst is None:
+                self._inst = InstancedScene(self.state)
+            rot = np.asarray(self.state.bodies.poses.rotation)
+            render_instanced(ax, self._inst, rot, pos, self.dynamic,
+                             self.lims)
+        else:
+            _render_scatter(ax, pos, self.size, self.dynamic, self.lims,
+                            self.dim)
         ax.set_title(self.status(), fontsize=9, loc="left")
 
     def run(self) -> RunStats:
