@@ -884,6 +884,11 @@ def test_cm_gs_math_matches_row_major(p_max):
         t_ii_torque_a=r(L, p_max, S, 3), t_ii_torque_b=r(L, p_max, S, 3),
         t_rhs=r(L, p_max, S), t_r=jnp.abs(r(L, p_max, 3)),
         body_a=jnp.zeros(L, jnp.int32), body_b=jnp.zeros(L, jnp.int32),
+        # rhs-relinearization inputs added to _PACK_FIELDS by the
+        # rhs-in-rung work — packed along but unread by the plain sweep
+        local_pt_a=r(L, p_max, 3), local_pt_b=r(L, p_max, 3),
+        info_dist=r(L, p_max), info_normal_vel=r(L, p_max),
+        t_rhs_wo_bias=r(L, p_max, S),
     )
     active = jnp.asarray(rng.random(L) > 0.2)
     v1l, v1a, v2l, v2a = r(L, 3), r(L, 3), r(L, 3), r(L, 3)
