@@ -51,7 +51,9 @@ class Sim:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, cm=aux)
+        # bool(aux): pre-cm treedefs (e.g. pickled checkpoints) carry
+        # aux=None — normalize to False so re-flattened Sims are uniform
+        return cls(*children, cm=bool(aux))
 
     @property
     def dim(self) -> int:
