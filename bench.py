@@ -479,33 +479,44 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
     # time, and uniform/chained/fused_xla never won a round
     # (--all-candidates restores them for solver-path studies).
     candidates = [
-        ("ladder", ladder),
+        ("ladder", ladder, "k"),
         # chained sweep + in-kernel rhs relinearization (poses ride the
         # stream; the per-substep update_rhs_sorted phase disappears) —
         # bitwise-exact vs the ladder on device, 77.6 steps/s (2026-08-19)
         ("chained_rr", _dc.replace(ladder, gs_chained=True,
-                                   gs_rhs_in_rung=True)),
+                                   gs_rhs_in_rung=True), "k"),
+        # + pair-slot layout: contacts stay at their color-major BP-cached
+        # pair slots, so the layout/chain bundle and slotwise warmstart
+        # ride a bp-hit cond (round 4: 9.9 ms/step = 101 steps/s vs 13.5
+        # chained_rr). Warmstart decisions differ from the ladder's on
+        # flicker frames, so K-step trajectories diverge CHAOTICALLY
+        # (x1.3/frame from 1e-4 seeds — BENCH_NOTES round-3: GS depends
+        # on sweep order; only short horizons are comparable) => gated on
+        # a 3-step ladder comparison instead of the K-step one.
+        ("chained_ps", _dc.replace(ladder, gs_chained=True,
+                                   gs_rhs_in_rung=True,
+                                   gs_pair_slots=True), "short"),
         # FUSED solver (whole sweep / build / warmstart+rhs / integration
         # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
-                              gs_fused_pallas=True)),
+                              gs_fused_pallas=True), "k"),
     ]
     if all_candidates:
-        candidates[2:2] = [
+        candidates[3:3] = [
             # scatter-free chained sweep without rhs-in-rung
-            ("chained", _dc.replace(ladder, gs_chained=True)),
+            ("chained", _dc.replace(ladder, gs_chained=True), "k"),
         ]
         candidates += [
             # the fused formulation lowered by XLA (wide lane gathers +
             # inverse-permutation scatter)
             ("fused_xla", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
-                                      gs_fused_pallas=False)),
-            ("uniform", steady_base),
+                                      gs_fused_pallas=False), "k"),
+            ("uniform", steady_base, "k"),
         ]
     K = 50
     ref_pos = None  # ladder's end-of-run positions (correctness gate)
     timed = {}  # name -> (t_per_step, out, cfg)
-    for name, cand in candidates:
+    for name, cand, gate in candidates:
         if timed and deadline is not None and time.time() > deadline:
             _log(f"physics candidate {name} skipped: wall budget exhausted")
             continue
@@ -545,7 +556,35 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
                 _log(f"physics {name} REJECTED: non-finite positions")
                 continue
             if ref_pos is None:
-                ref_pos = pos
+                ref_pos, ref_cfg = pos, cfg
+            elif gate == "short":
+                # warmstart decisions legitimately differ from the
+                # ladder's (e.g. pair-slot slotwise vs by-key on flicker
+                # frames), so K-step trajectories diverge chaotically.
+                # Gate on a 3-step ladder run from the SAME warmed state:
+                # a miscompute (1e13/NaN) still screams, chaos gets no
+                # time to grow past ~1e-3.
+                def run3_host(c, s):
+                    # host loop, not fori_loop: running the reference
+                    # config on the candidate's state mutates the cache
+                    # pytree STRUCTURE on the first step (e.g. a 6- vs
+                    # 8-tuple solve bundle), which a scan carry cannot
+                    # absorb; jit retraces per structure instead
+                    f = jax.jit(lambda ss: step(ss, params, c))
+                    for _ in range(3):
+                        s = f(s)
+                    return np.asarray(jax.block_until_ready(
+                        s).bodies.poses.translation)
+
+                p_cand = run3_host(cfg, st)
+                p_lad = run3_host(ref_cfg, st)
+                err = float(np.max(np.abs(p_cand - p_lad)))
+                if not np.isfinite(err) or err > 1e-2:
+                    _log(f"physics {name} REJECTED: 3-step divergence "
+                         f"{err:.3g} m vs ladder from the same state")
+                    continue
+                _log(f"physics {name} matches ladder over 3 steps "
+                     f"(max |dp| = {err:.2g})")
             else:
                 err = float(np.max(np.abs(pos - ref_pos)))
                 if err > 5e-2:

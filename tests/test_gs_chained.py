@@ -233,3 +233,62 @@ def test_pipeline_rhs_in_rung_matches_ladder():
     np.testing.assert_allclose(
         np.asarray(sr.bodies.poses.translation),
         np.asarray(sl.bodies.poses.translation), rtol=1e-3, atol=1e-3)
+
+
+def test_pair_slot_layout_matches_chained():
+    """gs_pair_slots (contacts at color-major BP-cached pair slots; layout/
+    warmstart ride a bp-hit cond) must reproduce the plain chained_rr
+    trajectory over a short horizon, survive a forced BP refresh (slot
+    permutation => by-key warmstart + fresh bundle), and keep pair/contact
+    counts identical."""
+    import dataclasses
+
+    import numpy as np
+
+    from wgmath_tpu.dynamics import SimParams
+    from wgmath_tpu.pipeline import PipelineConfig, step, step_checked
+    from wgmath_tpu.scenes.builders import ball_pit
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                         max_colors=16, gs_cmax=512, bp_slack=0.03,
+                         bp_algo="grid", manifold_points=1,
+                         gs_windows=(128,) * 16, gs_chained=True,
+                         gs_rhs_in_rung=True)
+    state = ball_pit(160)
+    for _ in range(30):
+        state, cfg = step_checked(state, params, cfg)
+
+    sa, ca = state, cfg
+    cb = dataclasses.replace(cfg, gs_pair_slots=True)
+    sb = state
+    for f in range(6):
+        sa, ca = step_checked(sa, params, ca)
+        sb, cb = step_checked(sb, params, cb)
+        dp = float(np.max(np.abs(
+            np.asarray(sa.bodies.poses.translation)
+            - np.asarray(sb.bodies.poses.translation))))
+        assert np.isfinite(dp) and dp < 5e-3, (f, dp)
+        # micro-divergence (different warmstart decisions) shifts
+        # marginal pairs at this tiny scale — positions are the real
+        # gate; counts just need to stay in the same regime
+        pa, pb = np.asarray(sa.pair_count), np.asarray(sb.pair_count)
+        assert abs(int(pa[0]) - int(pb[0])) <= max(32, int(pa[0]) * 3 // 20)
+        assert abs(int(pa[1]) - int(pb[1])) <= max(32, int(pa[1]) * 3 // 20)
+
+    # forced refresh: slots permute; the next frames stay healthy
+    cb_miss = dataclasses.replace(cb, bp_force="miss")
+    sb, _ = step_checked(sb, params, cb_miss)
+    for _ in range(3):
+        sb, cb = step_checked(sb, params, cb)
+    tr = np.asarray(sb.bodies.poses.translation)
+    assert np.isfinite(tr).all()
+    assert int(np.asarray(sb.pair_count)[1]) > 100
+
+    # the cached pair list must be color-major sorted (the layout's
+    # correctness invariant): valid pairs' colors are non-decreasing
+    cols = np.asarray(sb.bp_colors[0])
+    valid = np.asarray(sb.bp_pairs.valid)
+    vc = cols[valid]
+    assert (np.diff(np.clip(vc, 1, cb.max_colors)) >= 0).all()
+    assert int(np.asarray(sb.bp_colors[3])) == 1

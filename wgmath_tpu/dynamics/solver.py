@@ -1052,7 +1052,13 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         base = offsets[color]
         start = base + shard_off
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, lw)
-        active = shard_off + slot < counts[color]
+        # positional (slot < class count) AND per-row contact validity: in
+        # pair-slot layouts a window row can be a cached pair whose contact
+        # is currently inactive — it must pass velocities through with
+        # zero impulse delta (prev impulses preserved by the masked math).
+        # In compacted layouts valid rows are exactly the positional
+        # prefix, so the extra AND is a no-op there.
+        active = (shard_off + slot < counts[color]) & sl(sorted_cons.valid)
         if packed_fields is not None:
             # one wide slice replaces ~15 per-field dynamic slices — the
             # sweep is op-dispatch bound, not bandwidth bound
@@ -1340,6 +1346,7 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           warmstart_from: ContactConstraints | None = None,
           joints=None, gs_cmax: int = 0, prev_colors=None,
           colors_in=None, shard=None, stable_slots: bool = False,
+          pair_slots: bool = False, layout_valid=None, stable_hint=None,
           gs_tail_window: int = 0, gs_split: int = 8,
           cache_in=None,
           presorted: bool = False, gs_windows: tuple = (),
@@ -1366,6 +1373,18 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     already color-major (``compact_contacts(..., sort_by_extra=True)``) —
     the layout becomes identity order + segment counts and the per-frame
     field sort-gather is skipped.
+
+    ``pair_slots``: contacts sit at their (color-major-sorted, BP-cached)
+    PAIR slots — no per-frame compaction upstream, so slots are bitwise
+    stable for the whole BP-cache lifetime regardless of contact-validity
+    flicker (the cumsum compaction shifted ~every slot whenever one
+    marginal contact flickered, defeating the stable-keys conds: measured
+    ~24k/26k changed keys per settled frame). ``layout_valid`` is the PAIR
+    validity (layout/windows/chain cover every cached pair; contact-invalid
+    rows ride as impulse-preserving identity pass-throughs, masked by
+    ``valid`` in the math), and ``stable_hint`` (the pipeline's
+    bp_path == 0) replaces the bitwise key-equality predicate for the
+    layout-bundle and slotwise-warmstart conds.
     """
     dim = bodies.dim
     sub = params.substep().with_dim(dim)
@@ -1396,7 +1415,13 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
     # the graph coloring is reused under lax.cond — colors depend only on
     # the pair graph, which this predicate captures exactly
     same = None
-    if (warmstart_from is not None
+    if pair_slots:
+        # slots are pair slots: stable exactly when the BP cache was reused
+        # this frame (stable_hint) — contact flicker no longer matters
+        if (stable_hint is not None and warmstart_from is not None
+                and warmstart_from.body_a.shape == cons.body_a.shape):
+            same = stable_hint
+    elif (warmstart_from is not None
             and warmstart_from.body_a.shape == cons.body_a.shape):
         def _keys(ba, bb, valid):
             k = (ba.astype(jnp.uint32) << 16) | (bb.astype(jnp.uint32)
@@ -1508,11 +1533,16 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 order_padded = jnp.arange(c_cap, dtype=jnp.int32)
                 layout = (order_padded, offsets, counts)
             elif use_presorted:
-                key = jnp.where(cons.valid,
+                # pair-slot mode: layout/windows cover every cached PAIR
+                # (stable under the BP cache); contact-invalid rows are
+                # masked in the math, not excluded from the layout
+                lv = (layout_valid if pair_slots and layout_valid is not None
+                      else cons.valid)
+                key = jnp.where(lv,
                                 jnp.clip(colors, 0, max_colors),
                                 max_colors + 1).astype(jnp.int32)
                 counts = jax.ops.segment_sum(
-                    cons.valid.astype(jnp.int32), key,
+                    lv.astype(jnp.int32), key,
                     num_segments=max_colors + 2)
                 offsets = jnp.concatenate([
                     jnp.zeros(1, jnp.int32),
@@ -1524,15 +1554,29 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             else:
                 layout = build_color_layout(colors, cons.valid,
                                             max_colors=max_colors, cmax=cmax)
-            dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
-            dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+            if pair_slots and layout_valid is not None:
+                # sides/chain must span every PAIR row (contact-invalid
+                # rows pass velocities through with zero deltas), and must
+                # not read contact data at all — the bundle is cached
+                # across frames keyed on the BP cache, so anything
+                # per-frame here would go stale. Dynamic flags come from
+                # the body table, not cons.im (bitwise-identical: statics
+                # have zero inv mass on every axis).
+                dyn_bodies = bodies.is_dynamic()
+                dyn_a = dyn_bodies[cons.body_a]
+                dyn_b = dyn_bodies[cons.body_b]
+                lv_s = layout_valid
+            else:
+                dyn_a = jnp.any(cons.im_a != 0.0, axis=-1)
+                dyn_b = jnp.any(cons.im_b != 0.0, axis=-1)
+                lv_s = cons.valid
             order_padded = layout[0]
             idxp = jnp.minimum(order_padded, cons.body_a.shape[0] - 1)
             padv = order_padded >= cons.body_a.shape[0]
             ba_p, bb_p = cons.body_a[idxp], cons.body_b[idxp]
             dyn_a_p, dyn_b_p = dyn_a[idxp], dyn_b[idxp]
             sides = _build_sides(ba_p, bb_p, dyn_a_p, dyn_b_p,
-                                 jnp.where(padv, False, cons.valid[idxp]), n)
+                                 jnp.where(padv, False, lv_s[idxp]), n)
             if use_fused:
                 tables = build_fused_tables(
                     cons.body_a, cons.body_b, dyn_a, dyn_b, cons.valid,

@@ -134,6 +134,17 @@ class PipelineConfig:
     # sweep cost ∝ classes while the recolor itself is amortized over the
     # BP-cache lifetime.
     bp_claim_rounds: int = 4
+    # pair-slot solve layout (chained+windows+BP-colors only): the cached
+    # pair list is kept color-major-SORTED and contacts stay at their pair
+    # slots — no per-frame compaction. Slots are then bitwise-stable for
+    # the whole BP-cache lifetime, so the solve's layout/sides/chain
+    # bundle and the slotwise warmstart ride a bp-cache-hit cond instead
+    # of the (always-failing) bitwise key-equality predicate: one
+    # flickering marginal contact used to shift ~every compacted slot
+    # (measured 24k/26k changed keys per settled frame => the 3.9 ms
+    # layout + 1.7 ms by-key warmstart recomputed EVERY step). Cost:
+    # windows cover pair classes (~27% more masked rows in the sweep).
+    gs_pair_slots: bool = False
     # TOPO-GC-style color-count minimization sweeps after a full Luby
     # recolor (solver.minimize_colors ≙ the reference's primary min-color
     # pass, coloring.rs:220-325): reseat edges into the lowest free color,
@@ -433,6 +444,24 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     # a GS color window and break the unique-indices scatter promise.
     color_with_bp = (slack > 0 and not config.use_jacobi
                      and config.gs_cmax > 0 and not _has_mesh(state.shapes))
+    # pair-slot solve layout (see PipelineConfig.gs_pair_slots): cached
+    # pair list kept color-major; contacts stay at pair slots
+    use_pair_slots = (config.gs_pair_slots and color_with_bp
+                      and config.gs_chained and bool(config.gs_windows)
+                      and not config.gs_fused and shard is None
+                      and mins.shape[1] == 3 and state.joints is None)
+
+    def _sort_pairs_cm(p, tag):
+        """Color-major pair order: valid pairs ascending by color, invalid
+        tail. Stable, so surviving pairs keep relative order across
+        repairs (slots still shift on repair frames — the solve falls
+        back to by-key warmstart + fresh layout exactly then)."""
+        key = jnp.where(p.valid, jnp.clip(tag[0], 1, config.max_colors),
+                        config.max_colors + 1).astype(jnp.int32)
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        g = lambda x: x[perm]
+        return (PairList(g(p.body_a), g(p.body_b), g(p.valid), p.count),
+                (g(tag[0]),) + tuple(tag[1:-1]) + (jnp.int32(1),))
 
     def _colored_bp(mn, mx, reuse=None):
         p = _run_bp(mn, mx)
@@ -493,8 +522,11 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                         class_cap=config.gs_cmax,
                         new_cap=config.bp_recolor_cap),
                     recolor))
-        return p, (mn, mx), (cols, jnp.int32(config.gs_cmax),
-                             jnp.int32(config.max_colors))
+        tag = (cols, jnp.int32(config.gs_cmax),
+               jnp.int32(config.max_colors), jnp.int32(0))
+        if use_pair_slots:
+            p, tag = _sort_pairs_cm(p, tag)
+        return p, (mn, mx), tag
 
     cache_ok = (slack > 0 and state.bp_pairs is not None
                 and state.bp_ref is not None
@@ -613,8 +645,11 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                                     n_bodies, max_colors=config.max_colors,
                                     claim_rounds=config.bp_claim_rounds,
                                     class_cap=config.gs_cmax)))
-        return p, (r0, r1), (cols_out, jnp.int32(config.gs_cmax),
-                             jnp.int32(config.max_colors))
+        tag = (cols_out, jnp.int32(config.gs_cmax),
+               jnp.int32(config.max_colors), jnp.int32(0))
+        if use_pair_slots:
+            p, tag = _sort_pairs_cm(p, tag)
+        return p, (r0, r1), tag
 
     bp_path = jnp.int32(2)  # 0 = cache hit, 1 = repair, 2 = full BP
     if slack > 0:
@@ -628,6 +663,13 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 # (host regrew gs_cmax after a residue signal)
                 knobs_ok = ((state.bp_colors[1] == config.gs_cmax)
                             & (state.bp_colors[2] == config.max_colors))
+                if use_pair_slots:
+                    # the pair-slot layout REQUIRES a color-major-sorted
+                    # cached pair list; a cache written by a non-pair-slot
+                    # config (3-tuple tag or flag 0) forces a refresh
+                    knobs_ok &= (state.bp_colors[3] == 1
+                                 if len(state.bp_colors) > 3
+                                 else jnp.bool_(False))
             # cached pairs stay a superset of true overlaps while every AABB
             # remains inside its slack-inflated reference box
             reuse = ((state.bp_pairs, state.bp_colors)
@@ -742,7 +784,14 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                  and contact_colors is not None and shard is None
                  and dim_ == 3)
     fused_class_counts = None
-    if use_fused:
+    if use_pair_slots:
+        # contacts stay at their (color-major, BP-cached) pair slots: no
+        # compaction, bitwise-stable slots for the BP-cache lifetime. The
+        # constraint buffer spans pair_capacity; contact-invalid rows are
+        # masked in the solve (impulse-preserving pass-throughs).
+        contact_count = jnp.sum(contacts.valid.astype(jnp.int32))
+        presorted = True
+    elif use_fused:
         from wgmath_tpu.dynamics.constraint import compact_contacts
 
         # STATIC rung-padded color-major layout (fused-sweep kernel):
@@ -785,6 +834,9 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         prev_colors=state.prev_colors if warmstart else None,
         colors_in=contact_colors,
         stable_slots=not _has_mesh(state.shapes),
+        pair_slots=use_pair_slots,
+        layout_valid=pairs.valid if use_pair_slots else None,
+        stable_hint=(bp_path == 0) if use_pair_slots else None,
         gs_tail_window=config.gs_tail_window,
         gs_split=config.gs_split,
         cache_in=state.solve_cache if warmstart else None,
@@ -899,8 +951,10 @@ def step_checked(state: PhysicsState, params: SimParams,
     if int(counts[0]) > config.pair_capacity:
         regrow["pair_capacity"] = bucket(int(counts[0]))
     if (config.contact_capacity and not config.gs_fused
+            and not config.gs_pair_slots
             and int(counts[1]) > config.contact_capacity):
-        # (fused layout sizes the buffer from the rungs, not this knob)
+        # (fused layout sizes the buffer from the rungs; pair-slot layout
+        # spans pair_capacity — neither uses this knob)
         regrow["contact_capacity"] = bucket(int(counts[1]))
     if config.gs_cmax and int(counts[2]) > config.gs_cmax:
         regrow["gs_cmax"] = capacity_bucket(int(counts[2]), floor=256)
