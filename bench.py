@@ -449,7 +449,7 @@ def physics_steady_setup(n_bodies=10_000, settle_frames=900, calm_vel=0.05):
 
 
 def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
-                  deadline=None, all_candidates=False):
+                  deadline=None, all_candidates=False, emit=None):
     """Times the *settled* contact-rich regime — the honest hot path for
     benchmark config 5.
 
@@ -479,23 +479,26 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
     # time, and uniform/chained/fused_xla never won a round
     # (--all-candidates restores them for solver-path studies).
     candidates = [
+        # WINNER FIRST (cold-run resilience): pair-slot layout — contacts
+        # stay at their color-major BP-cached pair slots, so the layout/
+        # chain bundle and slotwise warmstart ride a bp-hit cond (round 4:
+        # 9.9 ms/step = 101 steps/s vs 13.5 chained_rr). Its warmstart
+        # decisions differ from the ladder's on flicker frames, so K-step
+        # trajectories diverge CHAOTICALLY (x1.3/frame from 1e-4 seeds —
+        # BENCH_NOTES round-3: GS depends on sweep order; only short
+        # horizons are comparable) => gated on a 3-step ladder comparison
+        # (vs the `ladder` config directly, no prior K-run needed), so a
+        # cold driver run records the headline number after ~4 compiles
+        # instead of after the full ladder pass.
+        ("chained_ps", _dc.replace(ladder, gs_chained=True,
+                                   gs_rhs_in_rung=True,
+                                   gs_pair_slots=True), "short"),
         ("ladder", ladder, "k"),
         # chained sweep + in-kernel rhs relinearization (poses ride the
         # stream; the per-substep update_rhs_sorted phase disappears) —
         # bitwise-exact vs the ladder on device, 77.6 steps/s (2026-08-19)
         ("chained_rr", _dc.replace(ladder, gs_chained=True,
                                    gs_rhs_in_rung=True), "k"),
-        # + pair-slot layout: contacts stay at their color-major BP-cached
-        # pair slots, so the layout/chain bundle and slotwise warmstart
-        # ride a bp-hit cond (round 4: 9.9 ms/step = 101 steps/s vs 13.5
-        # chained_rr). Warmstart decisions differ from the ladder's on
-        # flicker frames, so K-step trajectories diverge CHAOTICALLY
-        # (x1.3/frame from 1e-4 seeds — BENCH_NOTES round-3: GS depends
-        # on sweep order; only short horizons are comparable) => gated on
-        # a 3-step ladder comparison instead of the K-step one.
-        ("chained_ps", _dc.replace(ladder, gs_chained=True,
-                                   gs_rhs_in_rung=True,
-                                   gs_pair_slots=True), "short"),
         # FUSED solver (whole sweep / build / warmstart+rhs / integration
         # as Pallas kernels) — needs multi-vreg tpu.dynamic_gather (probed)
         ("fused", _dc.replace(ladder, gs_fused=True, gs_rung0=256,
@@ -555,8 +558,8 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
             if not np.all(np.isfinite(pos)):
                 _log(f"physics {name} REJECTED: non-finite positions")
                 continue
-            if ref_pos is None:
-                ref_pos, ref_cfg = pos, cfg
+            if name == "ladder":
+                ref_pos = pos
             elif gate == "short":
                 # warmstart decisions legitimately differ from the
                 # ladder's (e.g. pair-slot slotwise vs by-key on flicker
@@ -577,7 +580,7 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
                         s).bodies.poses.translation)
 
                 p_cand = run3_host(cfg, st)
-                p_lad = run3_host(ref_cfg, st)
+                p_lad = run3_host(ladder, st)
                 err = float(np.max(np.abs(p_cand - p_lad)))
                 if not np.isfinite(err) or err > 1e-2:
                     _log(f"physics {name} REJECTED: 3-step divergence "
@@ -586,6 +589,10 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
                 _log(f"physics {name} matches ladder over 3 steps "
                      f"(max |dp| = {err:.2g})")
             else:
+                if ref_pos is None:
+                    _log(f"physics {name} skipped: no ladder reference "
+                         "for the K-step gate")
+                    continue
                 err = float(np.max(np.abs(pos - ref_pos)))
                 if err > 5e-2:
                     _log(f"physics {name} REJECTED: diverges from ladder "
@@ -605,14 +612,24 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
             t = min(ts) / K
             timed[name] = (t, out, cfg)
             _log(f"physics candidate {name}: {t * 1e3:.2f} ms/step")
+            if emit is not None:
+                # bank the winner-so-far on stdout: a driver kill between
+                # candidates still records a physics number
+                emit(_physics_results(timed, n_bodies))
         except Exception as e:  # pragma: no cover - backend-dependent
             _log(f"physics {name} path failed ({type(e).__name__}: "
                  f"{str(e)[:200]})")
     assert timed, "every physics steady-state candidate failed"
     winner = min(timed, key=lambda k: timed[k][0])
-    t, out, config = timed[winner]
+    t = timed[winner][0]
     _log(f"physics winner = {winner}: {t * 1e3:.2f} ms/step "
          f"({1.0 / t:.1f} steps/s)")
+    return _physics_results(timed, n_bodies)
+
+
+def _physics_results(timed, n_bodies):
+    winner = min(timed, key=lambda k: timed[k][0])
+    t, out, config = timed[winner]
     counts = np.asarray(out[1])
     res = {f"physics_{n_bodies//1000}k_steps_per_s": 1.0 / t,
            "physics_pair_capacity": float(config.pair_capacity),
@@ -680,18 +697,28 @@ def main(argv=None):
 
     results = {}
     fails = {}
-    # target-bearing benches FIRST (gemm/physics/geometry/rays feed the
-    # geomean): if the wall budget truncates the run, the score line still
-    # carries every headline number
+
+    def emit_partial(interim):
+        """Incremental consolidated line (LAST one wins) — called between
+        sections AND after every physics candidate, so a driver kill at any
+        point still leaves the best-so-far numbers on stdout."""
+        print(json.dumps(_score_line({**results, **interim}, fails,
+                                     partial=True)), flush=True)
+
+    # cheap target-bearing benches FIRST (~90 s warm banks the quat + ray
+    # ratios), then physics (the headline the round is judged on), then
+    # gemm (biggest wall cost per ratio). A cold driver run killed mid-
+    # physics keeps 4 sections + the per-candidate physics lines; round 3
+    # lost everything to exactly this (BENCH_r03.json rc=124).
     benches = [
-        ("gemm", bench_gemm),
-        ("physics", functools.partial(
-            bench_physics, deadline=deadline,
-            all_candidates=ns.all_candidates)),
         ("geometry", bench_geometry),
         ("rays", bench_rays),
         ("gemv", bench_gemv),
         ("fused", bench_fused_graph),
+        ("physics", functools.partial(
+            bench_physics, deadline=deadline,
+            all_candidates=ns.all_candidates, emit=emit_partial)),
+        ("gemm", bench_gemm),
     ]
     if only:
         benches = [(n, f) for n, f in benches if n in only]

@@ -40,8 +40,13 @@ def main():
     state0, params, steady_base, ladder = bench.physics_steady_setup()
     base = dataclasses.replace(ladder, gs_chained=True, gs_rhs_in_rung=True)
 
-    for sweeps in (0, 1, 2):
-        cfg = dataclasses.replace(base, bp_min_color_sweeps=sweeps)
+    # (mode, pair_slots, sweeps): rr sweeps=0 is the round-3 baseline; ps
+    # is the round-4 winner the result has to move.
+    grid = [("rr", False, 0), ("rr", False, 2),
+            ("ps", True, 0), ("ps", True, 1), ("ps", True, 2)]
+    for mode, ps, sweeps in grid:
+        cfg = dataclasses.replace(base, gs_pair_slots=ps,
+                                  bp_min_color_sweeps=sweeps)
         st = state0  # bp cache dropped by the loader -> full recolor
         t0 = time.time()
         for _ in range(6):
@@ -49,7 +54,7 @@ def main():
         st = jax.block_until_ready(st)
         hist = class_histogram(st, cfg)
         sizes = sorted(hist.values(), reverse=True)
-        print(f"sweeps={sweeps}: {len(hist)} occupied classes, "
+        print(f"{mode} sweeps={sweeps}: {len(hist)} occupied classes, "
               f"sizes={sizes} (warmup {time.time()-t0:.0f}s)", flush=True)
 
         @jax.jit
@@ -65,8 +70,8 @@ def main():
             t0 = time.time()
             out = jax.block_until_ready(run_k(st))
             ts.append(time.time() - t0)
-        print(f"  chained_rr sweeps={sweeps}: {min(ts)/K*1e3:.2f} ms/step "
-              f"({K/min(ts):.1f} steps/s), contacts="
+        print(f"  chained_{mode} sweeps={sweeps}: {min(ts)/K*1e3:.2f} "
+              f"ms/step ({K/min(ts):.1f} steps/s), contacts="
               f"{int(np.asarray(out[1])[1])}", flush=True)
 
 
