@@ -21,6 +21,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from wgmath_tpu.dynamics.build_pallas import (  # noqa: E402
+    CHUNK,
     _SIDE_OFFS,
     _W_SIDE,
     _build_pallas_call,
@@ -96,11 +97,58 @@ def check_builder(p_max=1, s_len=2, c=1024):
     return rel.max()
 
 
+def check_copy(c=2048, p_max=1, s_len=2):
+    """Identity kernel through the builder's exact BlockSpecs: if THIS is
+    wrong on device, the miscompute is pure Mosaic layout (unaligned row
+    counts), not the _cm_build math."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from wgmath_tpu.core.dispatch import pallas_interpret
+
+    meta, k_all = field_meta(p_max, s_len)
+    rng = np.random.default_rng(2)
+    shapes = [(_W_SIDE, c), (_W_SIDE, c), (3, c), (3 * p_max, c),
+              (p_max, c)]
+    args = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    rows_in = sum(s[0] for s in shapes)
+    assert rows_in <= k_all
+
+    def kernel(a_ref, b_ref, n_ref, p_ref, d_ref, out_ref):
+        cat = jnp.concatenate([a_ref[...], b_ref[...], n_ref[...],
+                               p_ref[...], d_ref[...]], axis=0)
+        pad = jnp.zeros((k_all - rows_in, cat.shape[1]), jnp.float32)
+        out_ref[...] = jnp.concatenate([cat, pad], axis=0)
+
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(-(-c // CHUNK),),
+        in_specs=[lane_spec(_W_SIDE), lane_spec(_W_SIDE), lane_spec(3),
+                  lane_spec(3 * p_max), lane_spec(p_max)],
+        out_specs=lane_spec(k_all),
+        out_shape=jax.ShapeDtypeStruct((k_all, c), jnp.float32),
+        interpret=pallas_interpret(),
+    )(*[jnp.asarray(x) for x in args])
+    want = np.concatenate(args + [np.zeros((k_all - rows_in, c),
+                                           np.float32)], axis=0)
+    d = np.abs(np.asarray(out) - want).max()
+    bench._log(f"copy-kernel c={c} pallas-vs-host max|d| = {d:.3e}")
+    return d
+
+
 def main():
     bench._log(f"backend: {jax.devices()}")
     check_integrate()
-    check_builder(p_max=1)
-    check_builder(p_max=4)
+    # c=1024 < CHUNK: the original repro (block overhangs the array);
+    # c=2048/4096: production-shaped widths (contact caps are multiples
+    # of 2048) — separates a test artifact from a real kernel bug
+    check_builder(p_max=1, c=1024)
+    check_builder(p_max=1, c=2048)
+    check_builder(p_max=4, c=4096)
+    check_copy(c=2048)
+    check_copy(c=1024)
 
 
 if __name__ == "__main__":

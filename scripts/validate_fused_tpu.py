@@ -73,10 +73,13 @@ def small_correctness():
 
 
 def big_perf(fused_base):
-    from profile_step import settled_state
     from profile_substep import time_k
 
-    state, params, config = settled_state()
+    # the committed bench checkpoint loads in ~2 s; the old
+    # profile_step.settled_state path re-settled from scratch (~20 min of
+    # capacity-regrow recompiles over the tunnel)
+    state, params, steady_base, ladder = bench.physics_steady_setup()
+    config = ladder
     for _ in range(3):
         state, config = step_checked(state, params, config)
     state = jax.block_until_ready(state)

@@ -278,6 +278,21 @@ def test_fused_builder_matches_reference():
             tol = 1e-5 + 2e-6 * float(np.abs(r).max(initial=0.0))
             assert np.abs(r - g).max(initial=0.0) <= tol, \
                 f"field {f} (seed {seed}): {np.abs(r - g).max()} > {tol}"
+        # the PALLAS wrapper (interpret off-TPU) must agree with the XLA
+        # fallback bit-for-bit — it passes meta as a name-sorted tuple, and
+        # a dict-order pack once shifted EVERY field on device (the round-2
+        # "fused builder miscomputes" bug; scripts/isolate_fused_kernels.py)
+        got_p, bigT_p, meta_p = build_constraints_fused(
+            bodies.poses, bodies.vels, mprops, contacts, params,
+            use_pallas=True)
+        assert meta_p == meta
+        dp = np.abs(np.asarray(bigT_p) - np.asarray(bigT))
+        rel = dp / (np.abs(np.asarray(bigT)) + 1.0)
+        # interpret-Pallas and fused XLA round differently (fma
+        # contraction) — gate on the relative metric, not bitwise; the
+        # ordering bug this guards against reads as rel ~1e2
+        assert rel.max() < 1e-3, f"pallas builder rel {rel.max()}"
+
         # bigT row-layout must match pad_solver_fields_packed's
         from wgmath_tpu.dynamics.solver import pad_solver_fields_packed
 

@@ -206,8 +206,15 @@ def _cm_build(aT, bT, offs, nT, ptsT, distT, *, p_max, s_len, restitution,
     out["n_rhs"] = jnp.concatenate(acc["n_rhs"], axis=0)
     out["n_rhs_wo_bias"] = out["n_rhs"]
 
+    # pack rows by their `at` OFFSET, not dict order: the Pallas wrapper
+    # passes meta as a name-sorted tuple (hashable static arg), and
+    # _F32_SORT_FIELDS is not alphabetical — iterating meta.items() there
+    # concatenated every field at the wrong row (the round-2 "fused Pallas
+    # builder miscomputes on device" was THIS host-side ordering bug, not
+    # a Mosaic miscompile: the identity-copy kernel through the same
+    # BlockSpecs is bitwise-exact — scripts/isolate_fused_kernels.py).
     rows = []
-    for f, (at, tail) in meta.items():
+    for f, (at, tail) in sorted(meta.items(), key=lambda kv: kv[1][0]):
         k = int(np.prod(tail)) if tail else 1
         v = out[f]
         assert v.shape[0] == k, (f, v.shape, k)

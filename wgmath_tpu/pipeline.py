@@ -182,10 +182,13 @@ class PipelineConfig:
     # False = the same fused formulation lowered by XLA (wide lane
     # gathers + inverse-permutation "scatter"). Default False: Mosaic on
     # v5e / jax 0.9 rejects tpu.dynamic_gather at multi-tile lane widths
-    # ("Multiple source vregs along gather dimension"), and the round-2
-    # builder/integrate Pallas kernels were observed to compile-but-
-    # miscompute on real TPU (BENCH_NOTES "Mosaic findings 08-18") — the
-    # Pallas backend is opt-in for backends where it validates.
+    # ("Multiple source vregs along gather dimension"), so the Pallas
+    # sweep can't compile at 10k-scale class sizes. The builder/integrate
+    # kernels themselves are exact on device (the round-2 "compile-but-
+    # miscompute" was a host-side field-order bug in the builder wrapper,
+    # fixed round 4 — scripts/isolate_fused_kernels.py shows all three
+    # checks bitwise-clean, and the full fused[pallas] step matches the
+    # ladder to 6e-8 on TPU where the sweep shapes fit single-vreg).
     gs_fused_pallas: bool = False
     # static budget for the uncolored residue class (color 0, parked
     # unswept for a frame) in the fused layout; host-grown on overflow
