@@ -88,12 +88,16 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "ps"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     state, params, steady_base, ladder = bench.physics_steady_setup()
+    ps = dataclasses.replace(ladder, gs_chained=True,
+                             gs_rhs_in_rung=True, gs_pair_slots=True)
     cfg = {
         "ladder": ladder,
         "rr": dataclasses.replace(ladder, gs_chained=True,
                                   gs_rhs_in_rung=True),
-        "ps": dataclasses.replace(ladder, gs_chained=True,
-                                  gs_rhs_in_rung=True, gs_pair_slots=True),
+        "ps": ps,
+        # forced-hit: separates repair/refresh CADENCE (vanishes here)
+        # from constant conditional overhead (persists here)
+        "ps_hit": dataclasses.replace(ps, bp_force="hit"),
     }[mode]
     st = state
     for _ in range(6):
