@@ -526,9 +526,19 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
     # (observed: 0.111 m fake divergence). The ladder candidate reuses
     # this warmed state instead of re-warming.
     lad_st, lad_cfg = state, ladder
-    for _ in range(6):
-        lad_st, lad_cfg = step_checked(lad_st, params, lad_cfg)
-    lad_st = jax.block_until_ready(lad_st)
+    try:
+        for _ in range(6):
+            lad_st, lad_cfg = step_checked(lad_st, params, lad_cfg)
+        lad_st = jax.block_until_ready(lad_st)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        # degrade, don't abort: without a warmed ladder the short-gated
+        # candidates can't be verified (skipped below) but K-gated ones can
+        # still warm themselves and gate against the ladder candidate's own
+        # (per-candidate-try) run — a ladder warmup failure must not zero
+        # the whole physics bench (ADVICE r04)
+        _log(f"physics ladder warmup FAILED ({type(e).__name__}: "
+             f"{str(e)[:200]}); short-gated candidates will be skipped")
+        lad_st = None
     for name, cand, gate in candidates:
         if timed and deadline is not None and time.time() > deadline:
             _log(f"physics candidate {name} skipped: wall budget exhausted")
@@ -537,8 +547,12 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
             _log("physics fused[pallas] skipped (probe: Mosaic lacks "
                  "multi-vreg dynamic_gather)")
             continue
+        if gate == "short" and lad_st is None:
+            _log(f"physics {name} skipped: no warmed ladder for the "
+                 "short gate")
+            continue
         try:
-            if name == "ladder":
+            if name == "ladder" and lad_st is not None:
                 st, cfg = lad_st, lad_cfg
             else:
                 st, cfg = state, cand
@@ -757,7 +771,14 @@ def main(argv=None):
         if i < len(benches) - 1:
             print(json.dumps(_score_line(results, fails, partial=True)),
                   flush=True)
-    print(json.dumps(_score_line(results, fails, partial=False)), flush=True)
+    # a truncated run that dropped a target-bearing bench (e.g. gemm, the
+    # lowest-ratio target) must not present an inflated geomean as final
+    # (ADVICE r04): mark it partial so the recorded line is honest
+    missing = [k for k in TARGETS if k not in results]
+    if missing:
+        _log(f"final line marked partial: missing target metrics {missing}")
+    print(json.dumps(_score_line(results, fails, partial=bool(missing))),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -59,15 +59,15 @@ def parse_xplane(logdir, k):
         if "TPU" not in plane.name and "/device:" not in plane.name:
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        # "XLA Ops" is the authoritative per-fusion line; TraceMe annotations
+        # WRAP op events, so summing both double-counts device time
+        # (ADVICE r04). Fall back to TraceMe only when no op line exists.
+        op_lines = [ln for ln in plane.lines if "XLA Ops" in ln.name]
+        if not op_lines:
+            op_lines = [ln for ln in plane.lines if "XLA TraceMe" in ln.name]
         per_op = defaultdict(float)
         total = 0.0
-        for line in plane.lines:
-            # XLA Ops / XLA Modules lines carry the per-fusion timings;
-            # skip derived "Steps"/"Framework" lines to avoid double count
-            if "XLA Ops" not in line.name and "XLA TraceMe" not in \
-                    line.name and line.name != "XLA Ops":
-                if "op" not in line.name.lower():
-                    continue
+        for line in op_lines:
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
                 ms = ev.duration_ps / 1e9
