@@ -126,6 +126,10 @@ class OracleBody:
     inv_inertia_principal: np.ndarray  # [3] (diagonal local inertia)
     shape: str  # "ball" | "box"
     size: np.ndarray  # ball: [r]; box: half extents [3]
+    # one-way coupling (≙ BodyCoupling::OneWay, body.rs:169-192): zero
+    # inverse mass but the prescribed velocity is kept through the solve
+    # and integrates the pose (matches wgmath_tpu Bodies.kinematic)
+    kinematic: bool = False
 
     @property
     def dynamic(self):
@@ -465,9 +469,10 @@ def oracle_step(bodies, p: OracleParams, joints=(), prev_impulses=None):
                 ni, ti = prev_impulses[c.key()]
                 c.n_imp = ni * p.warmstart_coefficient
                 c.t_imp = ti * p.warmstart_coefficient
-    # statics start from zero velocity (solver.wgsl cleanup:194-208)
+    # statics start from zero velocity (solver.wgsl cleanup:194-208);
+    # kinematic bodies KEEP their prescribed velocity (one-way coupling)
     for b in bodies:
-        if not b.dynamic:
+        if not b.dynamic and not b.kinematic:
             b.linvel = np.zeros(3)
             b.angvel = np.zeros(3)
     g = np.asarray(p.gravity, float)
@@ -488,7 +493,7 @@ def oracle_step(bodies, p: OracleParams, joints=(), prev_impulses=None):
             c.solve(bodies, cfm, p.friction, biased=True)
         # integrate (body.wgsl integrateVelocity; com == pos for ball/box)
         for b in bodies:
-            if b.dynamic:
+            if b.dynamic or b.kinematic:
                 b.pos = b.pos + b.linvel * dt_sub
                 b.rot = qnorm(qmul(qexp(b.angvel * dt_sub), b.rot))
         for j in joints:

@@ -210,3 +210,104 @@ def test_oracle_ball_drop_chained_uncapped():
     err = np.abs(jax_tr[:, 1] - orc_tr[:, 1]).max(axis=-1)
     assert err.max() < 2e-3, (err.max(), err.argmax())
     assert abs(jax_tr[-1, 1, 1] - orc_tr[-1, 1, 1]) < 1e-3
+
+
+def _conveyor_scene(ball_y=0.7505, belt_speed=1.0):
+    """Kinematic platform (one-way coupling, ≙ BodyCoupling::OneWay,
+    body.rs:169-192) + one dynamic ball resting on it. Returns
+    (state, oracle_bodies)."""
+    plat_he = (3.0, 0.25, 3.0)
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.asarray([plat_he], jnp.float32)),
+        ShapeSet.balls(jnp.asarray([0.5], jnp.float32)))
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, ball_y, 0.0]], jnp.float32)
+    poses = Sim(quat.identity((2,)), pos, jnp.ones((2,), jnp.float32))
+    mp = _concat_mprops(
+        cuboid_local_mprops(jnp.asarray([plat_he], jnp.float32),
+                            dynamic=jnp.zeros(1, bool)),
+        ball_local_mprops(jnp.asarray([0.5], jnp.float32)))
+    vels = Velocity.zero(2, 3)
+    vels = Velocity(vels.linear.at[0, 0].set(belt_speed), vels.angular)
+    bodies = Bodies(poses, vels, mp, jnp.asarray([True, False]))
+    state = new_state(bodies, shapes)
+
+    plat = box_body([0.0, 0.0, 0.0], plat_he, static=True)
+    plat.kinematic = True
+    plat.linvel = np.array([belt_speed, 0.0, 0.0])
+    oracle = [plat, ball_body([0.0, float(ball_y), 0.0], 0.5)]
+    return state, oracle
+
+
+def test_oracle_kinematic_conveyor():
+    """One-way coupling end-to-end: the platform's prescribed velocity
+    integrates its pose at exactly belt_speed·t (never deflected by the
+    ball's weight — infinite effective mass), while friction against the
+    moving surface drags the resting ball up to belt speed. Both the JAX
+    pipeline and the independent f64 oracle implement the same semantics,
+    so trajectories must agree to mm."""
+    frames, dt, belt = 90, 1.0 / 60.0, 1.0
+    state, oracle = _conveyor_scene(belt_speed=belt)
+    params = SimParams()
+    op = OracleParams()
+    jax_tr, orc_tr, jax_v = [], [], []
+    prev = None
+    for f in range(frames):
+        state = step(state, params, CFG, warmstart=f > 0)
+        prev = oracle_step(oracle, op, prev_impulses=prev)
+        jax_tr.append(np.asarray(state.bodies.poses.translation))
+        orc_tr.append(np.stack([b.pos for b in oracle]))
+        jax_v.append(np.asarray(state.bodies.vels.linear))
+    jax_tr, orc_tr = np.stack(jax_tr), np.stack(orc_tr)
+    jax_v = np.stack(jax_v)
+
+    # platform rides its prescribed velocity exactly: x = belt·t, y/z fixed,
+    # velocity never changed by the solve (one-way: pushed-by nothing)
+    t = dt * np.arange(1, frames + 1)
+    np.testing.assert_allclose(jax_tr[:, 0, 0], belt * t, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(jax_tr[:, 0, 1:], 0.0, atol=1e-6)
+    np.testing.assert_allclose(jax_v[:, 0, 0], belt, atol=1e-6)
+    np.testing.assert_allclose(orc_tr[:, 0, 0], belt * t, atol=1e-9)
+
+    # belt friction both drags AND spins the free ball: slip closes when the
+    # contact point matches belt speed (v + ω·r = belt), which for a uniform
+    # sphere (I = 2/5 m r²) lands at v = belt/(1 + 5/2) = 2/7·belt — it then
+    # rolls for ever (no rolling resistance, same as the reference)
+    assert jax_v[-1, 1, 0] == pytest.approx(2.0 / 7.0 * belt, abs=2e-2)
+    wz = float(np.asarray(state.bodies.vels.angular)[1, 2])
+    assert jax_v[-1, 1, 0] + wz * 0.5 == pytest.approx(belt, abs=2e-2)
+    assert jax_tr[-1, 1, 0] > 0.3  # it actually traveled
+    # f64 oracle cross-check: same semantics, mm agreement
+    err = np.abs(jax_tr[:, 1] - orc_tr[:, 1]).max()
+    assert err < 5e-3, err
+
+
+def test_kinematic_platform_is_never_pushed():
+    """A heavy ball slammed into the platform must not deflect the
+    platform's velocity or trajectory (one-way coupling), on both the
+    colored-GS and Jacobi solver paths."""
+    for cfg in (CFG, dataclasses.replace(CFG, use_jacobi=True)):
+        state, _ = _conveyor_scene(ball_y=1.5)
+        # dense ball: 8 t — two-way coupling would visibly kick the belt
+        st = state
+        vel = st.bodies.vels
+        vel = Velocity(vel.linear.at[1, 1].set(-8.0), vel.angular)
+        mp = st.bodies.local_mprops
+        mp = dataclasses.replace(
+            mp, inv_mass=mp.inv_mass.at[1].mul(1e-3),
+            inv_principal_inertia=mp.inv_principal_inertia.at[1].mul(1e-3))
+        st = dataclasses.replace(
+            st, bodies=Bodies(st.bodies.poses, vel, mp,
+                              st.bodies.kinematic))
+        params = SimParams()
+        for f in range(60):
+            st = step(st, params, cfg, warmstart=f > 0)
+        pos = np.asarray(st.bodies.poses.translation)
+        v = np.asarray(st.bodies.vels.linear)
+        assert pos[0, 0] == pytest.approx(60.0 / 60.0, abs=1e-5)
+        assert abs(pos[0, 1]) < 1e-6 and abs(pos[0, 2]) < 1e-6
+        np.testing.assert_allclose(v[0], [1.0, 0.0, 0.0], atol=1e-6)
+        # ...and the ball DID interact: stopped by the platform (an 8 t
+        # ball's deep impact recovers over tens of frames under the
+        # max_corrective_velocity clamp), not fallen through
+        assert pos[1, 1] > 0.6, pos[1]
+        assert abs(v[1, 1]) < 0.5, v[1]

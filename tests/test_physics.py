@@ -985,3 +985,54 @@ def test_bp_repair_matches_full_refresh():
         s = s_rep
     assert took_repair, "no frame took the repair path"
     assert np.isfinite(np.asarray(s.bodies.poses.translation)).all()
+
+
+def test_kinematic_bulldozer_repairs_bp_cache():
+    """A kinematic platform (one-way coupling) plowing into a resting ball
+    under the slack-cached broad phase. The (platform, ball) pair does NOT
+    exist when the cache is built — it only appears because the moving
+    platform keeps escaping its reference box and the repair cohort
+    includes kinematic bodies (is_moving, not is_dynamic — a
+    dynamic-only cohort would leave the platform's pair rows stale for
+    ever and the ball would never be hit)."""
+    he = jnp.asarray([[1.0, 0.75, 2.0]], jnp.float32)
+    ground_he = jnp.asarray([[50.0, 1.0, 50.0]], jnp.float32)
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.concatenate([ground_he, he])),
+        ShapeSet.balls(jnp.asarray([0.5], jnp.float32)))
+    trans = jnp.asarray([[0.0, -1.0, 0.0],     # ground (top at y=0)
+                         [0.0, 0.76, 0.0],     # plow (bottom just off it)
+                         [3.0, 0.5, 0.0]],     # resting ball, 2 m ahead
+                        jnp.float32)
+    poses = sim_ops.from_parts(
+        jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (3, 1)), trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.concatenate([ground_he, he]),
+                            dynamic=jnp.asarray([False, False])),
+        ball_local_mprops(jnp.asarray([0.5], jnp.float32)))
+    vels = Velocity.zero(3, 3)
+    vels = Velocity(vels.linear.at[1, 0].set(1.0), vels.angular)
+    bodies = Bodies(poses, vels, mp, jnp.asarray([False, True, False]))
+    state = new_state(bodies, shapes)
+    cfg = PipelineConfig(pair_capacity=256, contact_capacity=256,
+                         max_colors=8, manifold_points=4, bp_algo="grid",
+                         bp_slack=0.03, bp_repair_cap=4, gs_cmax=64)
+    params = SimParams()
+    hits = []
+    for f in range(150):
+        state = step(state, params, cfg, warmstart=f > 0)
+        hits.append(int(np.asarray(state.pair_count)[3]))
+    pos = np.asarray(state.bodies.poses.translation)
+    v = np.asarray(state.bodies.vels.linear)
+    assert np.all(np.isfinite(pos))
+    # the platform rode its prescribed velocity: x = 150/60 = 2.5 m
+    assert pos[1, 0] == pytest.approx(2.5, abs=1e-4)
+    # the ball was hit and shoved forward (face reaches it at x=1.5 ⇒
+    # t=1.5 s; with stale platform pair rows it would still sit at x=3)
+    assert pos[2, 0] > 3.3, (pos[2], v[2])
+    assert v[2, 0] > 0.5, v[2]
+    # the cheap paths actually ran: the REPAIR path fired (that's the path
+    # whose cohort must include kinematic bodies) and full refreshes were
+    # rare (bp_path: 0 = hit, 1 = repair, 2 = full)
+    assert hits.count(1) >= 5, (hits.count(1), hits.count(2))
+    assert hits.count(2) <= 30, hits.count(2)

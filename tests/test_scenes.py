@@ -34,6 +34,7 @@ print("SCENE_OK")
 
 
 @pytest.mark.parametrize("scene", ["joint_revolute3", "primitives3",
+                                   "conveyor3",
                                    "polyline2", "boxes_and_balls2",
                                    "joint_prismatic3", "joint_ball2",
                                    "joint_prismatic2"])

@@ -86,17 +86,32 @@ class WorldMassProperties:
 @tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Bodies:
-    """All rigid bodies, SoA (≙ GpuBodySet, dynamics/body.rs:120)."""
+    """All rigid bodies, SoA (≙ GpuBodySet, dynamics/body.rs:120).
+
+    ``kinematic`` ([N] bool, optional) marks one-way-coupled bodies
+    (≙ BodyCoupling::OneWay, body.rs:169-192): zero inverse mass (the
+    solver never changes their velocity — im=0 sides take zero impulse
+    deltas) but their PRESCRIBED velocity is kept through the solve, so it
+    (a) enters every contact's relative-velocity term — a moving platform
+    pushes/drags dynamic bodies through normal + friction impulses — and
+    (b) integrates their pose each step. This goes beyond the reference,
+    whose cleanup kernel zeroes every im=0 body's solver velocity
+    (solver.wgsl:194-208) and which only exposes the coupling flag to the
+    downstream MPM consumer; here kinematic bodies are first-class in the
+    rigid-body solve itself."""
 
     poses: Sim  # batched [N]
     vels: Velocity
     local_mprops: LocalMassProperties
+    kinematic: jax.Array | None = None  # [N] bool; None ⇒ none kinematic
 
     def tree_flatten(self):
-        return (self.poses, self.vels, self.local_mprops), None
+        return (self.poses, self.vels, self.local_mprops,
+                self.kinematic), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        # pre-kinematic checkpoints carry 3-child treedefs — default applies
         return cls(*children)
 
     @property
@@ -109,8 +124,21 @@ class Bodies:
 
     def is_dynamic(self) -> jax.Array:
         """[N] bool — any unlocked translation axis (the reference's
-        static-body test: any(inv_mass != 0), solver.wgsl:91)."""
+        static-body test: any(inv_mass != 0), solver.wgsl:91). Kinematic
+        bodies are NOT dynamic: the solver treats them as infinite mass."""
         return jnp.any(self.local_mprops.inv_mass != 0.0, axis=-1)
+
+    def is_kinematic(self) -> jax.Array:
+        """[N] bool — one-way-coupled (velocity-prescribed) bodies."""
+        if self.kinematic is None:
+            return jnp.zeros(self.num_bodies, bool)
+        return self.kinematic
+
+    def is_moving(self) -> jax.Array:
+        """[N] bool — bodies whose pose integrates (dynamic ∪ kinematic);
+        the broad-phase cache treats exactly these as able to escape their
+        reference boxes."""
+        return self.is_dynamic() | self.is_kinematic()
 
 
 # -- device functions ---------------------------------------------------------

@@ -982,12 +982,12 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
     # per-device window slice; cmax must divide evenly (solve() rounds up)
     assert cmax % n_shards == 0
     if windows is not None:
-        assert axis_name is None, "window ladder is unsharded-only"
-        max_lw = max(windows)
+        # sharded ladder: each color's rung splits evenly across devices
+        # (solve() rounds the windows up to multiples of n_shards)
+        assert all(w % n_shards == 0 for w in windows), (windows, n_shards)
+        max_lw = max(windows) // n_shards
     else:
         max_lw = cmax // n_shards
-    shard_off = (jax.lax.axis_index(axis_name) * (cmax // n_shards)
-                 if axis_name is not None else jnp.int32(0))
     from types import SimpleNamespace
 
     ang2d = vels.angular.ndim == 1
@@ -1050,6 +1050,10 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         else:
             packed, n_imp, t_imp = carry
         base = offsets[color]
+        # device-local slice of this color's window (uniform mode:
+        # lw = cmax/n_shards; ladder mode: lw = windows[c-1]/n_shards)
+        shard_off = (jax.lax.axis_index(axis_name) * lw
+                     if axis_name is not None else jnp.int32(0))
         start = base + shard_off
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, lw)
         # positional (slot < class count) AND per-row contact validity: in
@@ -1188,16 +1192,17 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
             packed = packed + jax.lax.psum(delta, axis_name)
             # impulse deltas ride the same pattern (window-sized psum) so
             # the replicated accumulators stay consistent for warmstart
-            win_n = jnp.zeros((cmax,) + new_n.shape[1:], new_n.dtype)
-            win_t = jnp.zeros((cmax,) + new_t.shape[1:], new_t.dtype)
+            wf = lw * n_shards  # full (all-device) window size
+            win_n = jnp.zeros((wf,) + new_n.shape[1:], new_n.dtype)
+            win_t = jnp.zeros((wf,) + new_t.shape[1:], new_t.dtype)
             win_n = jax.lax.dynamic_update_slice_in_dim(
                 win_n, new_n - prev_n, shard_off, 0)
             win_t = jax.lax.dynamic_update_slice_in_dim(
                 win_t, new_t - prev_t, shard_off, 0)
             win_n = jax.lax.psum(win_n, axis_name)
             win_t = jax.lax.psum(win_t, axis_name)
-            cur_n = jax.lax.dynamic_slice_in_dim(n_imp, base, cmax)
-            cur_t = jax.lax.dynamic_slice_in_dim(t_imp, base, cmax)
+            cur_n = jax.lax.dynamic_slice_in_dim(n_imp, base, wf)
+            cur_t = jax.lax.dynamic_slice_in_dim(t_imp, base, wf)
             n_imp = jax.lax.dynamic_update_slice_in_dim(
                 n_imp, cur_n + win_n, base, 0)
             t_imp = jax.lax.dynamic_update_slice_in_dim(
@@ -1205,17 +1210,22 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
         return packed, n_imp, t_imp
 
     if windows is not None:
-        # merged sorted-space impulse matrix for the unrolled ladder (the
-        # rhs-in-rung store rides it as trailing columns)
-        imp_cols = [n_imp_s, t_imp_s.reshape(t_imp_s.shape[0], -1)]
-        if rhs_mode is not None:
-            imp_cols.append(rhs_store)
-        imp0 = jnp.concatenate(imp_cols, axis=1)
+        if merge_imp:
+            # merged sorted-space impulse matrix for the unrolled ladder
+            # (the rhs-in-rung store rides it as trailing columns)
+            imp_cols = [n_imp_s, t_imp_s.reshape(t_imp_s.shape[0], -1)]
+            if rhs_mode is not None:
+                imp_cols.append(rhs_store)
+            imp0 = jnp.concatenate(imp_cols, axis=1)
+            carry = (packed0, imp0)
+        else:
+            # sharded ladder: impulses stay as separate arrays (the psum
+            # branch in one_color_lw keeps the replicas consistent)
+            carry = (packed0, n_imp_s, t_imp_s)
         # static unrolled ladder: color c sweeps a windows[c-1]-sized slice;
         # empty classes skip their body via lax.cond (verified cheap on this
         # backend). The compiled program grows with max_colors, but every
         # color now moves only ~its class size of gather/scatter rows.
-        carry = (packed0, imp0)
         w_off = 0
         for ci, w in enumerate(windows, start=1):
             if w == 0:
@@ -1224,30 +1234,38 @@ def gs_color_major_pass(sorted_cons, vels: Velocity, n_imp_s, t_imp_s,
                 # re-occupies it is parked one frame and the rung regrows,
                 # the standard capacity contract
                 continue
+            lw_c = w if axis_name is None else w // n_shards
             if ci >= color_lo:
-                if chain is not None:
+                if chain is not None or axis_name is not None:
                     # unconditional: an empty color's stream rows are never
                     # chained-from and its impulse window rewrites prev
                     # values (active=False masks the math) — the cond's
                     # per-color dispatch overhead buys nothing on the
-                    # settled hot path where every class is occupied
-                    carry = one_color_lw(ci, carry, w, w_off=w_off)
+                    # settled hot path where every class is occupied.
+                    # Sharded rungs are unconditional for a second reason:
+                    # psum inside a lax.cond branch is not portably legal
+                    # under shard_map (an empty class psums zeros instead).
+                    carry = one_color_lw(ci, carry, lw_c, w_off=w_off)
                 else:
                     carry = jax.lax.cond(
                         counts[ci] > 0,
-                        lambda carry, ci=ci, w=w, wo=w_off: one_color_lw(
+                        lambda carry, ci=ci, w=lw_c, wo=w_off: one_color_lw(
                             ci, carry, w, w_off=wo),
                         lambda carry: carry,
                         carry)
             w_off += w
-        packed, imp1 = carry
-        n_imp_s = jax.lax.slice_in_dim(imp1, 0, p_flat, axis=1)
-        t_imp_s = jax.lax.slice_in_dim(imp1, p_flat,
-                                       p_flat * (1 + s_len_),
-                                       axis=1).reshape(t_imp_s.shape)
-        if rhs_mode is not None:
-            rhs_store = jax.lax.slice_in_dim(imp1, p_flat * (1 + s_len_),
-                                             p_flat * (2 + s_len_), axis=1)
+        if merge_imp:
+            packed, imp1 = carry
+            n_imp_s = jax.lax.slice_in_dim(imp1, 0, p_flat, axis=1)
+            t_imp_s = jax.lax.slice_in_dim(imp1, p_flat,
+                                           p_flat * (1 + s_len_),
+                                           axis=1).reshape(t_imp_s.shape)
+            if rhs_mode is not None:
+                rhs_store = jax.lax.slice_in_dim(
+                    imp1, p_flat * (1 + s_len_), p_flat * (2 + s_len_),
+                    axis=1)
+        else:
+            packed, n_imp_s, t_imp_s = carry
     else:
         one_color = functools.partial(one_color_lw, lw=cmax // n_shards)
         packed, n_imp_s, t_imp_s = jax.lax.fori_loop(
@@ -1449,12 +1467,19 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             cons = transfer_warmstart(cons, warmstart_from, params)
 
     dynamic = bodies.is_dynamic()
-    # cleanup (solver.wgsl:194-208): dynamic bodies start from their velocity
-    lin = jnp.where(dynamic[:, None], bodies.vels.linear, 0.0)
+    # cleanup (solver.wgsl:194-208): dynamic bodies start from their
+    # velocity, statics from zero. Kinematic (one-way-coupled) bodies KEEP
+    # their prescribed velocity too — unlike the reference, which zeroes
+    # every im=0 body: the sweep gathers both sides' velocities from the
+    # stream, so the platform's motion enters each contact's relative
+    # velocity while its im=0 sides still take zero impulse deltas, and
+    # integrate_velocity below advances its pose (body.rs:169-192 intent).
+    keep_v = dynamic | bodies.is_kinematic()
+    lin = jnp.where(keep_v[:, None], bodies.vels.linear, 0.0)
     if bodies.vels.angular.ndim == 2:
-        ang = jnp.where(dynamic[:, None], bodies.vels.angular, 0.0)
+        ang = jnp.where(keep_v[:, None], bodies.vels.angular, 0.0)
     else:
-        ang = jnp.where(dynamic, bodies.vels.angular, 0.0)
+        ang = jnp.where(keep_v, bodies.vels.angular, 0.0)
     vels = Velocity(lin, ang)
 
     # init_solver_vels_inc (solver.wgsl:354-374): gravity per substep
@@ -1488,9 +1513,14 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             cmax = min(cmax, gs_cmax)
         if gs_windows:
             # static per-color window ladder (see gs_color_major_pass):
-            # padding/caps size to the largest rung
-            assert shard is None and len(gs_windows) >= max_colors
+            # padding/caps size to the largest rung. Sharded runs split
+            # each rung evenly across the mesh — round the windows up to
+            # multiples of the device count (padding rows are masked).
+            assert len(gs_windows) >= max_colors
             gs_windows = tuple(gs_windows[:max_colors])
+            if shard is not None:
+                nsh = shard[1]
+                gs_windows = tuple(-(-w // nsh) * nsh for w in gs_windows)
             cmax = max(gs_windows)
         if shard is not None:  # color windows split evenly across devices
             cmax = -(-cmax // shard[1]) * shard[1]
@@ -1709,10 +1739,12 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
 
     # rhs-in-rung: chained sweeps recompute each rung's substep rhs IN the
     # math kernel (gs_pallas.gs_math_block_rhs) — no update_rhs_sorted
-    # phase, no per-substep 2C-row pose gather. Joints keep the classic
-    # path (their builder needs poses at substep level anyway).
+    # phase, no per-substep 2C-row pose gather. Joints run the classic
+    # per-substep joint passes AROUND the chained contact sweeps (the
+    # joint builder needs substep poses anyway, and the joint graph has
+    # its own colors) — jointed scenes keep the fast contact path.
     use_rhs_rung = (rhs_in_rung and not use_jacobi and use_chained
-                    and dim == 3 and joints is None)
+                    and dim == 3)
     if use_rhs_rung:
         rhs_consts = (float(sub.inv_dt), float(sub.contact_erp_inv_dt),
                       float(sub.allowed_linear_error),
@@ -1724,9 +1756,14 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
         vels = Velocity(vels.linear + inc, vels.angular)
         n_imp_s = n_imp_s * sub.warmstart_coefficient
         t_imp_s = t_imp_s * sub.warmstart_coefficient
+        if joints is not None:
+            jcons = build_joint_constraints(joints, poses, mprops, sub)
         deltas = _ws_deltas(ss, n_imp_s, t_imp_s, ss.valid,
                             n_imp_s.shape[1])
         vels = _ws_apply(vels, deltas, ws_sides)
+        if joints is not None:
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
         pose_tab = jnp.concatenate(
             [poses.rotation, poses.translation, poses.scale[:, None]],
             axis=-1)
@@ -1738,6 +1775,10 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
             rhs_consts=rhs_consts, rhs_store=rhs0)
         poses = integrate_velocity(poses, vels, bodies.local_mprops.com,
                                    sub.dt)
+        if joints is not None:
+            jcons = remove_joint_bias(jcons)
+            vels, jcons = joint_gs_pass(jcons, vels, joints.colors,
+                                        max_colors=max_colors)
         vels, n_imp_s, t_imp_s, _ = gs_color_major_pass(
             ss, vels, n_imp_s, t_imp_s, layout, num_colors, cmax=cmax,
             dim=dim_, packed_fields=packed_fields, windows=gs_windows,

@@ -98,7 +98,8 @@ def make_sharded_step(mesh: Mesh, params: SimParams, config: PipelineConfig):
             use_jacobi=config.use_jacobi, max_colors=config.max_colors,
             max_per_body=config.max_per_body,
             shard=None if config.use_jacobi else ("b", n_dev))
-        new_bodies = Bodies(poses, vels, bodies.local_mprops)
+        new_bodies = Bodies(poses, vels, bodies.local_mprops,
+                            bodies.kinematic)
         out_local = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, row_offset, n_local),
             new_bodies)

@@ -320,6 +320,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
     slack = config.bp_slack
     dim_sqrt = float(np.sqrt(mins.shape[1]))
     dyn_mask = bodies.is_dynamic()
+    move_mask = bodies.is_moving()  # dynamic ∪ kinematic (one-way) bodies
 
     # Velocity-aware per-body slack: a settled pile usually has a few
     # stragglers (a ball bouncing on top) whose per-frame motion exceeds any
@@ -449,10 +450,14 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                      and config.gs_cmax > 0 and not _has_mesh(state.shapes))
     # pair-slot solve layout (see PipelineConfig.gs_pair_slots): cached
     # pair list kept color-major; contacts stay at pair slots
+    # joints are no bar: the pair-slot layout caches CONTACT constraints
+    # only; joint constraints rebuild per substep from poses and solve in
+    # their own (CPU-greedy-colored) joint_gs_pass around the chained
+    # contact sweeps
     use_pair_slots = (config.gs_pair_slots and color_with_bp
                       and config.gs_chained and bool(config.gs_windows)
                       and not config.gs_fused and shard is None
-                      and mins.shape[1] == 3 and state.joints is None)
+                      and mins.shape[1] == 3)
 
     def _sort_pairs_cm(p, tag):
         """Color-major pair order: valid pairs ascending by color, invalid
@@ -556,7 +561,12 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         ref0, ref1 = state.bp_ref
         ecap = min(config.bp_repair_cap, n_bodies)
         margin = jnp.min(jnp.minimum(mins - ref0, ref1 - maxs), axis=1)
-        urgency = jnp.where(dyn_mask, -margin, -jnp.inf)
+        # cohort selection covers every body that can MOVE: kinematic
+        # (one-way) bodies are non-dynamic for pair filtering but their
+        # prescribed velocity carries them out of their reference boxes
+        # just like dynamics — excluding them would leave stale pair rows
+        # behind a moving platform (superset contract violation)
+        urgency = jnp.where(move_mask, -margin, -jnp.inf)
         _, e_ids = jax.lax.top_k(urgency, ecap)
         e_ids = e_ids.astype(jnp.int32)
         e_valid = jnp.ones((ecap,), bool)
@@ -844,9 +854,10 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         gs_split=config.gs_split,
         cache_in=state.solve_cache if warmstart else None,
         presorted=presorted,
-        # window ladder is unsharded-only; sharded sweeps split the uniform
-        # windows across the mesh instead
-        gs_windows=() if shard is not None else config.gs_windows,
+        # the per-class window ladder shards too (each rung splits across
+        # the mesh with a per-rung psum — solve() rounds rungs up to
+        # device-count multiples); chained/pair-slot stay unsharded
+        gs_windows=config.gs_windows,
         shard=shard,
         fused=use_fused,
         fused_rung0=config.gs_rung0,
@@ -855,7 +866,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         chained=config.gs_chained,
         rhs_in_rung=config.gs_rhs_in_rung,
     )
-    new_bodies = Bodies(poses, vels, bodies.local_mprops)
+    new_bodies = Bodies(poses, vels, bodies.local_mprops, bodies.kinematic)
     counts = jnp.concatenate([
         jnp.stack([pairs.count, contact_count, max_class[0],
                    bp_path, max_class[1]]), np_needed,

@@ -559,7 +559,49 @@ def joint_prismatic2(chains: int = 4, num: int = 6) -> PhysicsState:
     return new_state(bodies, shapes, joints)
 
 
+def conveyor(n_balls: int = 48, *, speed: float = 1.0,
+             radius: float = 0.4) -> PhysicsState:
+    """Kinematic moving platform (one-way coupling, ≙ BodyCoupling::OneWay,
+    body.rs:169-192) dragging a grid of dynamic balls.
+
+    Body 0 is a static ground slab, body 1 the kinematic platform: zero
+    inverse mass (the solve never deflects it) with a prescribed +x velocity
+    that enters every contact's relative-velocity term — friction spins the
+    resting balls up toward belt speed while the platform's pose integrates
+    at exactly ``speed``·t. Statics/kinematics come first per the hub-row
+    convention (broad-phase rows emit pairs toward lower indices)."""
+    plat_he = jnp.asarray([[6.0, 0.25, 4.0]], jnp.float32)
+    ground_he = jnp.asarray([[40.0, 1.0, 40.0]], jnp.float32)
+    side = int(np.ceil(np.sqrt(n_balls)))
+    xs, zs = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    grid = np.stack([xs, zs], -1).reshape(-1, 2)[:n_balls]
+    spacing = 2.0 * radius * 1.1
+    pos = np.zeros((n_balls, 3), np.float32)
+    pos[:, [0, 2]] = (grid - grid.mean(0, keepdims=True)) * spacing
+    # rest the balls ~on the belt surface (platform top at y = 1.5)
+    pos[:, 1] = 1.5 + radius * 1.02
+    shapes = ShapeSet.concat(
+        ShapeSet.cuboids(jnp.concatenate([ground_he, plat_he])),
+        ShapeSet.balls(jnp.full((n_balls,), radius)))
+    trans = jnp.concatenate([
+        jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.25, 0.0]], jnp.float32),
+        jnp.asarray(pos)])
+    n = n_balls + 2
+    poses = sim_ops.from_parts(
+        jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (n, 1)), trans)
+    mp = _merge_mprops(
+        cuboid_local_mprops(jnp.concatenate([ground_he, plat_he]),
+                            dynamic=jnp.asarray([False, False])),
+        ball_local_mprops(jnp.full((n_balls,), radius)))
+    vels = Velocity.zero(n, 3)
+    vels = Velocity(vels.linear.at[1, 0].set(speed), vels.angular)
+    kin = jnp.zeros((n,), bool).at[1].set(True)
+    bodies = Bodies(poses, vels, mp, kin)
+    return new_state(bodies, shapes)
+
+
 SCENES.update({
+    "conveyor3": conveyor,
     "capsules2": capsules2,
     "primitives3": primitives3,
     "boxes_and_balls3": lambda: boxes_and_balls(400, dim=3),
