@@ -216,3 +216,79 @@ def test_spherical_swing_cone_limit():
     assert max_swing < half + np.deg2rad(8.0), np.rad2deg(max_swing)
     # and it must actually have swung into the limit, not frozen
     assert max_swing > np.deg2rad(25.0), np.rad2deg(max_swing)
+
+
+def test_jointed_scene_on_chained_fast_paths():
+    """VERDICT r04 #5: jointed scenes must not silently fall off the fast
+    solver paths. The chained + rhs-in-rung sweep (and the pair-slot
+    layout on top) now runs the per-substep joint passes AROUND the
+    chained contact sweeps — trajectories must match the classic ladder
+    path to fp noise on a scene with BOTH joints and contacts (a fixed
+    chain draping onto a ground slab)."""
+    import dataclasses
+
+    from wgmath_tpu.dynamics import cuboid_local_mprops
+    from wgmath_tpu.dynamics.body import LocalMassProperties
+    from wgmath_tpu.pipeline import step
+
+    def scene():
+        # ground slab first (hub-row convention), then a 5-ball chain
+        # anchored 1.2 m up — the free links drape onto the ground
+        n_links, r = 4, 0.2
+        n = n_links + 2
+        shapes = ShapeSet.concat(
+            ShapeSet.cuboids(jnp.asarray([[10.0, 0.5, 10.0]])),
+            ShapeSet.balls(jnp.full((n_links + 1,), r)))
+        trans = np.zeros((n, 3), np.float32)
+        trans[0] = (0.0, -0.5, 0.0)
+        trans[1] = (0.0, 1.2, 0.0)
+        for i in range(n_links):
+            trans[2 + i] = ((i + 1) * 0.5, 1.2, 0.0)
+        poses = sim_ops.from_parts(
+            jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (n, 1)),
+            jnp.asarray(trans))
+        dynamic = np.ones(n, bool)
+        dynamic[:2] = False
+        gm = cuboid_local_mprops(jnp.asarray([[10.0, 0.5, 10.0]]),
+                                 dynamic=jnp.asarray([False]))
+        bm = ball_local_mprops(jnp.full((n_links + 1,), r),
+                               dynamic=jnp.asarray(dynamic[1:]))
+        mp = LocalMassProperties(
+            jnp.concatenate([gm.inv_mass, bm.inv_mass]),
+            jnp.concatenate([gm.com, bm.com]),
+            jnp.concatenate([gm.inertia_ref_frame, bm.inertia_ref_frame]),
+            jnp.concatenate([gm.inv_principal_inertia,
+                             bm.inv_principal_inertia]))
+        bodies = Bodies(poses, Velocity.zero(n, 3), mp)
+        joints = spherical_joints(
+            list(range(1, n_links + 1)), list(range(2, n_links + 2)),
+            [[0.25, 0.0, 0.0]] * n_links, [[-0.25, 0.0, 0.0]] * n_links,
+            dynamic_mask=dynamic)
+        return new_state(bodies, shapes, joints)
+
+    from wgmath_tpu.pipeline import PipelineConfig as PC
+    params = SimParams()
+    base = PC(pair_capacity=128, contact_capacity=64, max_colors=4,
+              manifold_points=1, bp_algo="grid", bp_slack=0.03,
+              gs_cmax=64, gs_windows=(64,) * 4, broad_phase_block=64)
+    cfgs = {
+        "ladder": base,
+        "chained_rr": dataclasses.replace(base, gs_chained=True,
+                                          gs_rhs_in_rung=True),
+        "chained_ps": dataclasses.replace(base, gs_chained=True,
+                                          gs_rhs_in_rung=True,
+                                          gs_pair_slots=True),
+    }
+    trs = {}
+    for name, cfg in cfgs.items():
+        st = scene()
+        for f in range(40):
+            st = step(st, params, cfg, warmstart=f > 0)
+        trs[name] = np.asarray(st.bodies.poses.translation)
+        assert np.isfinite(trs[name]).all(), name
+    # the chain actually draped: free links fell and rest near the ground
+    assert trs["ladder"][-1, 1] < 0.9
+    assert trs["ladder"][-1, 1] > 0.1
+    for name in ("chained_rr", "chained_ps"):
+        err = np.abs(trs[name] - trs["ladder"]).max()
+        assert err < 1e-4, (name, err)

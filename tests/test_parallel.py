@@ -175,3 +175,41 @@ def test_full_pipeline_sharded_with_joints():
     # chain holds together under the sharded solve
     tr = np.asarray(sh.bodies.poses.translation)
     assert np.isfinite(tr).all()
+
+
+def test_full_pipeline_sharded_window_ladder_matches():
+    """VERDICT r04 #3: the per-class window LADDER — the solve layout every
+    winning single-chip candidate builds on — now runs under shard_map too
+    (each rung splits across the mesh with one per-rung psum of velocity
+    deltas; solve() rounds rungs up to device-count multiples). Sharded
+    ladder steps must match the single-device ladder step frame by frame."""
+    import dataclasses
+
+    from wgmath_tpu.parallel.sharded_pipeline import (
+        make_sharded_step,
+        replicate_state,
+    )
+    from wgmath_tpu.pipeline import PipelineConfig, step
+    from wgmath_tpu.scenes.builders import balls
+
+    params = SimParams()
+    cfg = PipelineConfig(pair_capacity=2048, contact_capacity=1024,
+                         max_colors=12, gs_cmax=256, bp_slack=0.03,
+                         bp_algo="grid", manifold_points=1,
+                         gs_windows=(128,) * 12)
+    state = balls(192, dim=3)
+    for f in range(25):
+        state = step(state, params, cfg, warmstart=f > 0)
+
+    mesh = body_mesh(8)
+    sstep = make_sharded_step(mesh, params, cfg, n_steps=1)
+    sh = replicate_state(state, mesh)
+    sd = state
+    for f in range(5):
+        sh = sstep(sh)
+        sd = step(sd, params, cfg, warmstart=True)
+        np.testing.assert_allclose(
+            np.asarray(sh.bodies.poses.translation),
+            np.asarray(sd.bodies.poses.translation), atol=1e-5,
+            err_msg=f"frame {f}")
+    assert np.isfinite(np.asarray(sh.bodies.poses.translation)).all()
