@@ -134,3 +134,27 @@ def test_reduce_pallas(rng, op):
                                  "linalg.op_assign", "linalg.reduce"])
 def test_modules_lower(mod):
     assert compile_check(mod)
+
+
+def test_gemm_split_planes_and_product():
+    """Pre-split bf16 multi-pass GEMM (scripts/exp_gemm_split.py): the
+    bitmask 3-plane decomposition must reconstruct f32 exactly, and the
+    6-pass product must land within f32-matmul accuracy of the f64
+    reference (the 3-pass within the reference's 1e-3 golden band,
+    gemm.rs:199-202)."""
+    import numpy as np
+
+    from wgmath_tpu.ops.gemm import _split3, gemm_split
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(256, 256)).astype(np.float32)
+    b = (rng.normal(size=(256, 256)) / 16).astype(np.float32)
+    planes = np.asarray(jax.jit(_split3)(jnp.asarray(a)), np.float32)
+    np.testing.assert_array_equal(planes.sum(0), a)
+    ref = a.astype(np.float64) @ b.astype(np.float64)
+    scale = np.abs(ref).mean()
+    for n_passes, tol in ((6, 5e-6), (3, 1e-3)):
+        out = np.asarray(gemm_split(jnp.asarray(a), jnp.asarray(b),
+                                    n_passes=n_passes,
+                                    bm=256, bn=256, bk=256), np.float64)
+        assert np.abs(out - ref).max() / scale < tol

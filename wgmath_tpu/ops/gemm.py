@@ -97,11 +97,18 @@ def gemm(
     if ka != kb:
         raise ValueError(f"inner dims mismatch: {ka} vs {kb}")
 
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and on_tpu()
-        and a.dtype == b.dtype
-        and a.dtype in (jnp.float32, jnp.bfloat16)
+    # precision="high" (bf16x3): Mosaic has no in-kernel HIGH dot and the
+    # pre-split Pallas variant (gemm_split) measured SLOWER than XLA's own
+    # 3-pass path (49.9 vs 56.8 TF at 4096², BENCH_NOTES r5) — route to
+    # XLA, the fastest correct implementation. It passes the reference's
+    # 1e-3 golden tolerance (gemm.rs:199-202) at ~1.9× highest's speed.
+    use_pallas = prec is not jax.lax.Precision.HIGH and (
+        impl == "pallas" or (
+            impl == "auto"
+            and on_tpu()
+            and a.dtype == b.dtype
+            and a.dtype in (jnp.float32, jnp.bfloat16)
+        )
     )
     if use_pallas:
         bm, bn, bk = _pick_tiles(m, n, ka, a.dtype.itemsize)
@@ -209,6 +216,106 @@ def _gemm_pallas(a, b, ta, tb, bm, bn, bk, prec):
         interpret=pallas_interpret(),
     )(a3, b3)
     return out.reshape(batch_shape + (m, n))
+
+
+def _split3(x):
+    """f32 → three bf16 planes (hi, mid, lo) with x ≈ hi + mid + lo.
+
+    The classic f32-as-3×bf16 decomposition: each plane captures the next
+    8 mantissa bits of the residual. Planes are carved by MANTISSA
+    BITMASK, not by convert round-trips: XLA's TPU backend constant-folds
+    ``x - f32(bf16(x))`` to zero (measured on device: the residual planes
+    came back empty and the 3-pass product degraded to hi·hi), whereas the
+    masked upper-16-bit value converts to bf16 exactly and the f32
+    subtraction below is exact arithmetic XLA must keep."""
+    i32 = x.view(jnp.int32)
+    hi_f = jnp.bitwise_and(i32, jnp.int32(-65536)).view(jnp.float32)
+    r = x - hi_f  # exact: hi_f is x with the low 16 mantissa bits cleared
+    mid_f = jnp.bitwise_and(r.view(jnp.int32),
+                            jnp.int32(-65536)).view(jnp.float32)
+    lo = (r - mid_f).astype(jnp.bfloat16)  # exact residual, then rounded
+    return jnp.stack([hi_f.astype(jnp.bfloat16),
+                      mid_f.astype(jnp.bfloat16), lo])
+
+
+@functools.partial(jax.jit, static_argnames=("n_passes", "bm", "bn", "bk"))
+def gemm_split(a: jax.Array, b: jax.Array, *, n_passes: int = 6,
+               bm: int = 512, bn: int = 1024, bk: int = 512) -> jax.Array:
+    """f32 GEMM via PRE-SPLIT bf16 multi-pass accumulation.
+
+    XLA's ``precision=highest`` dot runs the same 6-pass bf16 MXU
+    decomposition but re-derives the bf16 planes from the f32 tiles
+    INSIDE the k-loop — each operand tile is re-split every time it is
+    streamed (VPU work + extra VMEM pressure ∝ n_tiles). Splitting the
+    whole operands ONCE in HBM (O(N²), amortized over N/bn ≈ 4-8 reuses)
+    leaves the kernel six pure bf16 MXU passes, which sustain 99.8% MXU
+    on this chip (BENCH_NOTES gemm autotune).
+
+    ``n_passes``: 6 keeps every cross term at or above lo·hi —
+    numerically ≙ XLA's highest; 3 keeps {hi·hi, hi·mid, mid·hi} —
+    ≙ XLA's ``precision=high`` (bf16x3), which already meets the
+    reference's own 1e-3 golden tolerance (gemm.rs:199-202). 2D only
+    (the bench shape); use ``gemm`` for batched/transposed variants.
+    """
+    assert a.ndim == 2 and b.ndim == 2 and a.dtype == jnp.float32
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2 and _aligned(m, n, k, bm, bn, bk)
+    nsplit = 3 if n_passes == 6 else 2
+    # separate per-plane operands: a stacked [3, M, K] single-BlockSpec
+    # variant silently MISCOMPUTES on Mosaic v5e (and the 3-plane one fails
+    # to compile) — leading-axis blocks of sub-8 extent are not a safe
+    # layout; six plain 2D streams are
+    a_planes = _split3(a)
+    b_planes = _split3(b)
+    ins = [a_planes[i] for i in range(nsplit)] + \
+          [b_planes[i] for i in range(nsplit)]
+    n_k = cdiv(k, bk)
+    grid = (cdiv(m, bm), cdiv(n, bn), n_k)
+
+    def kernel(*refs):
+        a_refs, b_refs, o_ref = refs[:nsplit], refs[nsplit:2 * nsplit], \
+            refs[2 * nsplit]
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            o_ref[...] = jnp.zeros((bm, bn), jnp.float32)
+
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32)
+        ah, am = a_refs[0][...], a_refs[1][...]
+        bh, bm_ = b_refs[0][...], b_refs[1][...]
+        # low-order terms first (error-ordered summation)
+        if n_passes == 6:
+            al, bl = a_refs[2][...], b_refs[2][...]
+            acc = dot(al, bh) + dot(am, bm_) + dot(ah, bl)
+            acc += dot(am, bh) + dot(ah, bm_)
+        else:
+            acc = dot(am, bh) + dot(ah, bm_)
+        o_ref[...] += acc + dot(ah, bh)
+
+    a_spec = pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[a_spec] * nsplit + [b_spec] * nsplit,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k * n_passes,
+            bytes_accessed=(m * k + k * n) * 2 * nsplit + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(*ins)
 
 
 register_module(
