@@ -79,11 +79,11 @@ def main():
         s = jax.lax.fori_loop(0, K, body, s)
         return s.bodies.poses.translation, s.pair_count
 
-    out = jax.block_until_ready(run_k(state))
+    bench._sync(run_k(state))  # tunnel: block_until_ready is unreliable
     ts = []
     for _ in range(3):
         t0 = time.time()
-        out = jax.block_until_ready(run_k(state))
+        bench._sync(run_k(state))
         ts.append(time.time() - t0)
     ms = min(ts) / K * 1e3
     bench._log(f"pyramid 42.9k steady state: {ms:.1f} ms/step "
