@@ -101,3 +101,24 @@ def test_live_viewer_instanced_mesh_mode_and_picker():
     assert v.scene == names[(i + 1) % len(names)] and v.frame == 0
     v.on_key("[")
     assert v.scene == "boxes3"
+
+
+def test_oracle_backend_runs_conveyor():
+    """The independent-engine switch (≙ the reference's rapier CPU
+    backend, backend/cpu.rs:27): the f64 numpy oracle drives a scene
+    end-to-end through the runner surface, and its conveyor physics
+    matches the engine's semantics (platform rides its prescribed
+    velocity)."""
+    import numpy as np
+
+    from wgmath_tpu.scenes.builders import conveyor
+    from wgmath_tpu.testbed.oracle import run_oracle_backend
+    from wgmath_tpu.testbed.runner import run_scene
+
+    stats = run_scene("conveyor3", frames=5, backend="oracle", verify=True)
+    assert stats.counters["steps"] == 5
+
+    pos, rot = run_oracle_backend(conveyor(n_balls=4), 30)
+    assert pos[1, 0] == np.float64(30.0 / 60.0) or abs(
+        pos[1, 0] - 0.5) < 1e-9  # kinematic platform: x = v t exactly
+    assert np.isfinite(pos).all()

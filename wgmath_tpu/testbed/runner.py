@@ -51,16 +51,68 @@ class BackendConfig:
 def run_scene(name: str, *, frames: int = 300, solver: str = "tgs",
               dump_every: int = 0, verify: bool = False,
               bp_slack: float = 0.0, record: str | None = None,
-              record_every: int = 1, gs_chained: bool = False) -> RunStats:
+              record_every: int = 1, gs_chained: bool = False,
+              backend: str = "jax") -> RunStats:
     """Step a demo scene, printing per-phase stats (≙ Testbed::run loop +
     RunStats overlay). ``record`` writes a pose-trajectory npz for
     ``testbed.viewer`` (≙ the reference's graphics backend, rendered
-    offline instead of live)."""
+    offline instead of live).
+
+    ``backend="oracle"`` switches to the INDEPENDENT f64 numpy engine
+    (testbed/oracle.py) — the analog of the reference testbed's live
+    rapier-CPU backend switch (src_testbed/backend/cpu.rs:27,
+    backend/mod.rs:24): a structurally unrelated solver running the same
+    scene, for live cross-checks. Ball/cuboid scenes, 3D, no joint
+    pytree."""
     import jax
 
     from wgmath_tpu.pipeline import auto_manifold_points
 
     state = SCENES[name]()
+    if backend == "oracle":
+        import dataclasses as _dc
+
+        from wgmath_tpu.testbed.oracle import run_oracle_backend
+
+        stats = RunStats()
+        recorder = None
+        if record:
+            from wgmath_tpu.testbed.viewer import Recorder
+
+            recorder = Recorder(state)
+            recorder.record(state)
+
+        def on_frame(f, bodies):
+            pos = np.stack([b.pos for b in bodies])
+            if verify and not np.all(np.isfinite(pos)):
+                raise AssertionError(f"oracle NaN/Inf at frame {f}")
+            if recorder is not None and f % max(record_every, 1) == 0:
+                import jax.numpy as jnp
+
+                ps = state.bodies.poses
+                new_poses = _dc.replace(
+                    ps, translation=jnp.asarray(pos, jnp.float32),
+                    rotation=jnp.asarray(
+                        np.stack([b.rot for b in bodies]), jnp.float32))
+                recorder.record(_dc.replace(
+                    state, bodies=_dc.replace(state.bodies,
+                                              poses=new_poses)))
+            if dump_every and f % dump_every == 0:
+                print(f"frame {f}: y[min/mean/max] = "
+                      f"{pos[:, 1].min():.3f}/{pos[:, 1].mean():.3f}/"
+                      f"{pos[:, 1].max():.3f}", flush=True)
+
+        t0 = time.perf_counter()
+        run_oracle_backend(state, frames, on_frame=on_frame)
+        stats.add_phase("step", (time.perf_counter() - t0) * 1e3)
+        stats.counters["steps"] = frames
+        per_step = stats.phase_ms["step"] / max(frames, 1)
+        stats.counters["steps_per_second"] = int(1000.0 / max(per_step,
+                                                              1e-9))
+        if recorder is not None:
+            recorder.save(record)
+            print(f"recorded {len(recorder.frames)} frames -> {record}")
+        return stats
     params = SimParams.jacobi() if solver == "jacobi" else SimParams.tgs_soft()
     dim = state.bodies.poses.translation.shape[-1]
     config = BackendConfig(solver, bp_slack, gs_chained).pipeline_config(
@@ -144,6 +196,11 @@ def main(argv=None) -> int:
                     help="broad-phase temporal-coherence slack (0 = off; "
                          "pairs are cached until a body's AABB drifts past "
                          "the slack — exact, narrow phase re-tests)")
+    ap.add_argument("--backend", choices=["jax", "oracle"], default="jax",
+                    help="engine switch (≙ the reference testbed's "
+                         "rapier-CPU backend, backend/cpu.rs:27): 'oracle' "
+                         "runs the scene on the INDEPENDENT f64 numpy "
+                         "engine (ball/cuboid scenes, 3D, no joints)")
     ap.add_argument("--device", choices=["default", "cpu"], default="default",
                     help="backend switch (≙ the reference testbed's CPU/GPU "
                          "toggle): 'cpu' forces the CPU oracle backend even "
@@ -185,7 +242,7 @@ def main(argv=None) -> int:
                           dump_every=args.dump_every, verify=args.verify,
                           bp_slack=args.bp_slack, record=args.record,
                           record_every=args.record_every,
-                          gs_chained=args.gs_chained)
+                          gs_chained=args.gs_chained, backend=args.backend)
         if args.json:
             print(json.dumps({"scene": name, "phase_ms": stats.phase_ms,
                               "counters": stats.counters}))
