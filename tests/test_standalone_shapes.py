@@ -116,3 +116,33 @@ def test_triangle_concat_rebases_vertex_ranges():
     firsts = np.asarray(t2.params[:, 0]).astype(int)
     np.testing.assert_array_equal(firsts, [0, 3])
     assert t2.vertices.shape[0] == 6
+
+
+def test_vertex_collider_ids_and_world_buffer():
+    """≙ GpuBodySet.shapes_vertex_collider_id + shapes_vertex_buffers
+    (body.rs:133-135, 293-304): per-vertex owner map over the shared
+    buffer and the world-space transformed vertices."""
+    import numpy as np
+
+    from wgmath_tpu.geometry import sim as sim_ops
+    from wgmath_tpu.shapes import mesh
+    from wgmath_tpu.shapes.shape import (
+        ShapeSet,
+        vertex_collider_ids,
+        world_vertex_buffer,
+    )
+
+    tri = np.asarray([[0, 1, 2]], np.int32)
+    v1 = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    v2 = v1 * 2.0
+    s = ShapeSet.concat(
+        ShapeSet.balls(jnp.asarray([0.5])),
+        mesh.trimesh(v1, tri), mesh.trimesh(v2, tri))
+    ids = np.asarray(vertex_collider_ids(s))
+    assert ids.tolist() == [1, 1, 1, 2, 2, 2]
+    rot = jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (3, 1))
+    trans = jnp.asarray([[0.0, 0, 0], [10.0, 0, 0], [0.0, 5, 0]])
+    poses = sim_ops.from_parts(rot, trans)
+    w = np.asarray(world_vertex_buffer(s, poses))
+    np.testing.assert_allclose(w[:3], v1 + np.asarray([10.0, 0, 0]))
+    np.testing.assert_allclose(w[3:], v2 + np.asarray([0.0, 5, 0]))

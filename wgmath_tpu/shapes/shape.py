@@ -285,3 +285,43 @@ def ball_radii_or_nan(shapes: ShapeSet, poses: Sim) -> jax.Array:
     feeds the broad phase's exact sphere-sphere prefilter."""
     r = shapes.params[:, 0] * poses.scale
     return jnp.where(shapes.tag == BALL, r, jnp.nan)
+
+
+def vertex_collider_ids(shapes: ShapeSet) -> jax.Array:
+    """[V] i32 — owning shape index per shared-vertex-buffer row, -1 for
+    rows no mesh-backed shape references.
+
+    ≙ ``GpuBodySet.shapes_vertex_collider_id`` (body.rs:133-135, 341-362):
+    the reference keeps this per-vertex collider-id map as the coupling
+    surface its MPM downstream (wgsparkl) reads. Mesh-backed shapes
+    reference disjoint (first_vtx, num_vtx) runs of the shared buffer, so
+    ownership resolves with one sort + searchsorted over run starts."""
+    V = shapes.vertices.shape[0]
+    tag = shapes.tag
+    is_mesh = ((tag == TRIANGLE) | (tag == POLYLINE) | (tag == TRIMESH)
+               | (tag == CONVEX))
+    first = jnp.where(is_mesh, shapes.params[:, 0].astype(jnp.int32),
+                      jnp.int32(V + 1))
+    num = jnp.where(tag == TRIANGLE, 3,
+                    shapes.params[:, 1].astype(jnp.int32))
+    order = jnp.argsort(first).astype(jnp.int32)
+    sf = first[order]
+    v = jnp.arange(V, dtype=jnp.int32)
+    j = jnp.searchsorted(sf, v, side="right", method="sort") - 1
+    ids = order[jnp.clip(j, 0, tag.shape[0] - 1)]
+    ok = is_mesh[ids] & (v >= first[ids]) & (v < first[ids] + num[ids])
+    return jnp.where(ok, ids, -1)
+
+
+def world_vertex_buffer(shapes: ShapeSet, poses: Sim,
+                        collider_ids: jax.Array | None = None) -> jax.Array:
+    """[V, dim] — shared vertex buffer transformed into world space by each
+    vertex's owning collider pose (≙ the reference's per-step
+    ``shapes_vertex_buffers`` update, body.rs:293-304); unowned rows pass
+    through untransformed."""
+    ids = (vertex_collider_ids(shapes) if collider_ids is None
+           else collider_ids)
+    safe = jnp.maximum(ids, 0)
+    owner = jax.tree.map(lambda x: x[safe], poses)
+    w = sim_ops.mul_pt(owner, shapes.vertices)
+    return jnp.where((ids >= 0)[:, None], w, shapes.vertices)
