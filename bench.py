@@ -526,6 +526,15 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
         # (vs the `ladder` config directly, no prior K-run needed), so a
         # cold driver run records the headline number after ~4 compiles
         # instead of after the full ladder pass.
+        # chained_ss = pair slots at STATIC rung offsets (gs_static_slots):
+        # every per-rung slice in the solve is compile-time addressed —
+        # kills the ~2.1 ms/step of async dynamic-slice starts in the
+        # round-4 device profile. Same physics as chained_ps (same classes,
+        # same within-class order; validated in test_gs_chained).
+        ("chained_ss", _dc.replace(ladder, gs_chained=True,
+                                   gs_rhs_in_rung=True,
+                                   gs_pair_slots=True,
+                                   gs_static_slots=True), "short"),
         ("chained_ps", _dc.replace(ladder, gs_chained=True,
                                    gs_rhs_in_rung=True,
                                    gs_pair_slots=True), "short"),

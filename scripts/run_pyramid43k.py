@@ -47,6 +47,13 @@ def main():
         pair_capacity=262144, contact_capacity=131072, max_colors=24,
         broad_phase_block=512, gs_cmax=8192, bp_slack=0.0,
         sat_pair_capacity=131072, bc_pair_capacity=256,
+        # grid-BP budgets seeded for the dense 43k box lattice: cell size
+        # == box size here, so each body sees ~27-54 pre-compaction
+        # candidates — the 48 default truncated the pair list from frame
+        # ~5, the missing support contacts collapsed the pyramid, and the
+        # collapse blew every downstream capacity (round-5 first run)
+        bp_cand_budget=216, bp_cell_cap=16, bp_global_cap=32,
+        broad_phase_max_per_row=128,
         manifold_points=auto_manifold_points(
             state.shapes, 3, dynamic=np.asarray(state.bodies.is_dynamic())))
     rec = Recorder(state)

@@ -1036,3 +1036,50 @@ def test_kinematic_bulldozer_repairs_bp_cache():
     # rare (bp_path: 0 = hit, 1 = repair, 2 = full)
     assert hits.count(1) >= 5, (hits.count(1), hits.count(2))
     assert hits.count(2) <= 30, hits.count(2)
+
+
+def test_cm_gs_math_lane_tiled_kernel():
+    """Wide rungs split along the lane axis inside the Pallas GS-math
+    kernel (L > 8192 blew scoped VMEM at pyramid-43k scale): the tiled
+    interpret-mode kernel must match the untiled XLA twin exactly."""
+    from types import SimpleNamespace
+
+    from wgmath_tpu.dynamics.gs_pallas import _lane_tiling, gs_math_block
+    from wgmath_tpu.dynamics.solver import pack_sorted_fields
+
+    assert _lane_tiling(9216) == (1024, 9)
+    assert _lane_tiling(24576) == (8192, 3)
+    assert _lane_tiling(4096) == (4096, 1)
+
+    rng = np.random.default_rng(11)
+    L, S, p_max = 9216, 2, 1
+    def r(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    view = SimpleNamespace(
+        dir_a=r(L, 3), tangent_a=r(L, S, 3), im_a=jnp.abs(r(L, 3)),
+        im_b=jnp.abs(r(L, 3)), cfm_factor=jnp.abs(r(L)) * 0.5 + 0.5,
+        limit=jnp.abs(r(L)), num_points=jnp.asarray(
+            rng.integers(0, p_max + 1, L).astype(np.int32)),
+        n_torque_a=r(L, p_max, 3), n_torque_b=r(L, p_max, 3),
+        n_ii_torque_a=r(L, p_max, 3), n_ii_torque_b=r(L, p_max, 3),
+        n_rhs=r(L, p_max), n_r=jnp.abs(r(L, p_max)),
+        t_torque_a=r(L, p_max, S, 3), t_torque_b=r(L, p_max, S, 3),
+        t_ii_torque_a=r(L, p_max, S, 3), t_ii_torque_b=r(L, p_max, S, 3),
+        t_rhs=r(L, p_max, S), t_r=jnp.abs(r(L, p_max, 3)),
+        body_a=jnp.zeros(L, jnp.int32), body_b=jnp.zeros(L, jnp.int32),
+        local_pt_a=r(L, p_max, 3), local_pt_b=r(L, p_max, 3),
+        info_dist=r(L, p_max), info_normal_vel=r(L, p_max),
+        t_rhs_wo_bias=r(L, p_max, S),
+    )
+    active = jnp.asarray(rng.random(L) > 0.2)
+    p1 = jnp.concatenate([r(L, 3), r(L, 3)], axis=-1)
+    p2 = jnp.concatenate([r(L, 3), r(L, 3)], axis=-1)
+    prev_n, prev_t = r(L, p_max), r(L, p_max, S)
+    packed2d, meta = pack_sorted_fields(view)
+    ref = gs_math_block(packed2d, meta, view, active, p1, p2, prev_n,
+                        prev_t, p_max=p_max, s_len=S, use_pallas=False)
+    got = gs_math_block(packed2d, meta, view, active, p1, p2, prev_n,
+                        prev_t, p_max=p_max, s_len=S, use_pallas=True)
+    for g, w in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6)

@@ -221,6 +221,20 @@ def _gs_math_xla(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T,
     return new_n, new_t.reshape(p_max * s_len, -1), d1, d2
 
 
+def _lane_tiling(L):
+    """(block_width, n_blocks): wide windows split along the lane axis —
+    the math is purely columnwise, and one [~220, L] block past L≈16k
+    blows the 16 MB scoped-VMEM budget (pyramid-43k regrow OOM'd at
+    L=24576). Rung widths are 128-quantum, so a power-of-two tile always
+    divides them in practice; indivisible widths keep the single block."""
+    if L <= 8192:
+        return L, 1
+    for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if L % cand == 0:
+            return cand, L // cand
+    return L, 1
+
+
 def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
                          p1T, p2T, prev_nT, prev_tT, *, p_max, s_len,
                          meta_t):
@@ -229,12 +243,14 @@ def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
 
     L = winT.shape[1]
     meta = dict(meta_t)
+    BL, n_blk = _lane_tiling(L)
 
     def kernel(win_ref, cfm_ref, nrhs_ref, trhs_ref, nump_ref, act_ref,
                p1_ref, p2_ref, pn_ref, pt_ref,
                nn_ref, nt_ref, d1_ref, d2_ref):
+        bl = win_ref.shape[1]
         extras = (cfm_ref[:, :], nrhs_ref[:, :],
-                  trhs_ref[:, :].reshape(p_max, s_len, L),
+                  trhs_ref[:, :].reshape(p_max, s_len, bl),
                   nump_ref[:, :], act_ref[:, :])
         f = _cm_fields_from_refs(win_ref[:, :], meta, extras, p_max, s_len)
         p1 = p1_ref[:, :]
@@ -243,23 +259,28 @@ def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
         v2l, v2a = p2[:3], p2[3:6]
         new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
             f, v1l, v1a, v2l, v2a, pn_ref[:, :],
-            pt_ref[:, :].reshape(p_max, s_len, L), p_max, s_len)
+            pt_ref[:, :].reshape(p_max, s_len, bl), p_max, s_len)
         nn_ref[:, :] = new_n
-        nt_ref[:, :] = new_t.reshape(p_max * s_len, L)
+        nt_ref[:, :] = new_t.reshape(p_max * s_len, bl)
         d1_ref[:, :] = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
         d2_ref[:, :] = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
 
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    def bspec(rows):
+        return pl.BlockSpec((rows, BL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    ins = (winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T,
+           prev_nT, prev_tT)
+    out_rows = (p_max, p_max * s_len, 6, 6)
     return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((p_max, L), jnp.float32),
-                   jax.ShapeDtypeStruct((p_max * s_len, L), jnp.float32),
-                   jax.ShapeDtypeStruct((6, L), jnp.float32),
-                   jax.ShapeDtypeStruct((6, L), jnp.float32)),
-        in_specs=[spec] * 10,
-        out_specs=(spec, spec, spec, spec),
+        grid=(n_blk,),
+        out_shape=tuple(jax.ShapeDtypeStruct((r, L), jnp.float32)
+                        for r in out_rows),
+        in_specs=[bspec(x.shape[0]) for x in ins],
+        out_specs=tuple(bspec(r) for r in out_rows),
         interpret=pallas_interpret(),
-    )(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T, prev_nT, prev_tT)
+    )(*ins)
 
 
 @functools.partial(jax.jit, static_argnames=("p_max", "s_len", "meta_t",
@@ -303,18 +324,20 @@ def _gs_math_rhs_pallas_call(winT, numpT, activeT, p1T, p2T, auxT,
     L = winT.shape[1]
     meta = dict(meta_t)
     biased = mode == "biased"
+    BL, n_blk = _lane_tiling(L)
 
     def kernel(win_ref, nump_ref, act_ref, p1_ref, p2_ref, aux_ref,
                pn_ref, pt_ref, pose2_ref, *out_refs):
+        bl = win_ref.shape[1]
         f = _cm_fields_base(win_ref[:, :], meta, p_max, s_len)
         if biased:
             n_rhsT, rhs_woT, t_rhsT = _cm_rhs(
                 f, aux_ref[:, :], pose2_ref[:, :], consts[:4], p_max, s_len)
-            cfm = jnp.full((1, L), consts[4], jnp.float32)
+            cfm = jnp.full((1, bl), consts[4], jnp.float32)
         else:
             n_rhsT = aux_ref[:, :]
             t_rhsT = f["t_rhs_wo_bias"]
-            cfm = jnp.ones((1, L), jnp.float32)
+            cfm = jnp.ones((1, bl), jnp.float32)
         f["cfm"], f["n_rhs"], f["t_rhs"] = cfm, n_rhsT, t_rhsT
         f["nump"], f["active"] = nump_ref[:, :], act_ref[:, :]
         p1 = p1_ref[:, :]
@@ -323,28 +346,31 @@ def _gs_math_rhs_pallas_call(winT, numpT, activeT, p1T, p2T, auxT,
         v2l, v2a = p2[:3], p2[3:6]
         new_n, new_t, w1l, w1a, w2l, w2a = _cm_point_updates(
             f, v1l, v1a, v2l, v2a, pn_ref[:, :],
-            pt_ref[:, :].reshape(p_max, s_len, L), p_max, s_len)
+            pt_ref[:, :].reshape(p_max, s_len, bl), p_max, s_len)
         out_refs[0][:, :] = new_n
-        out_refs[1][:, :] = new_t.reshape(p_max * s_len, L)
+        out_refs[1][:, :] = new_t.reshape(p_max * s_len, bl)
         out_refs[2][:, :] = jnp.concatenate([w1l - v1l, w1a - v1a], axis=0)
         out_refs[3][:, :] = jnp.concatenate([w2l - v2l, w2a - v2a], axis=0)
         if biased:
             out_refs[4][:, :] = rhs_woT
 
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((p_max, L), jnp.float32),
-                 jax.ShapeDtypeStruct((p_max * s_len, L), jnp.float32),
-                 jax.ShapeDtypeStruct((6, L), jnp.float32),
-                 jax.ShapeDtypeStruct((6, L), jnp.float32)]
+    def bspec(rows):
+        return pl.BlockSpec((rows, BL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    ins = (winT, numpT, activeT, p1T, p2T, auxT, prev_nT, prev_tT, pose2T)
+    out_rows = [p_max, p_max * s_len, 6, 6]
     if biased:
-        out_shape.append(jax.ShapeDtypeStruct((p_max, L), jnp.float32))
+        out_rows.append(p_max)
     return pl.pallas_call(
         kernel,
-        out_shape=tuple(out_shape),
-        in_specs=[spec] * 9,
-        out_specs=(spec,) * len(out_shape),
+        grid=(n_blk,),
+        out_shape=tuple(jax.ShapeDtypeStruct((r, L), jnp.float32)
+                        for r in out_rows),
+        in_specs=[bspec(x.shape[0]) for x in ins],
+        out_specs=tuple(bspec(r) for r in out_rows),
         interpret=pallas_interpret(),
-    )(winT, numpT, activeT, p1T, p2T, auxT, prev_nT, prev_tT, pose2T)
+    )(*ins)
 
 
 def gs_math_block_rhs(win2d, meta, num_points, active, p1, p2, prev_n,

@@ -1370,7 +1370,8 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
           presorted: bool = False, gs_windows: tuple = (),
           fused: bool = False, fused_rung0: int = 0,
           fused_class_counts=None, fused_pallas: bool = True,
-          chained: bool = False, rhs_in_rung: bool = False):
+          chained: bool = False, rhs_in_rung: bool = False,
+          static_layout: tuple | None = None):
     """Run the complete constraint solve for one frame; returns
     ``(new_poses, new_vels, constraints, max_class, colors, solve_cache)``
     — always six (solve_cache is None under jacobi). One
@@ -1574,9 +1575,22 @@ def solve(bodies: Bodies, mprops: WorldMassProperties, contacts: Contacts,
                 counts = jax.ops.segment_sum(
                     lv.astype(jnp.int32), key,
                     num_segments=max_colors + 2)
-                offsets = jnp.concatenate([
-                    jnp.zeros(1, jnp.int32),
-                    jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+                if static_layout is not None:
+                    # static rung placement (gs_static_slots): class c
+                    # starts at the COMPILE-TIME offset Σwindows[:c-1] —
+                    # every downstream per-rung dynamic_slice folds to a
+                    # static slice (the scheduler can fuse/prefetch it;
+                    # dynamic class boundaries cost ~2.1 ms/step of async
+                    # slice-starts in the round-4 device profile).
+                    # Residue (0) and invalid (max+1) park at the tail.
+                    Wnp = np.concatenate(
+                        [[0], np.cumsum(static_layout)]).astype(np.int32)
+                    offsets = jnp.asarray(np.concatenate(
+                        [[Wnp[-1]], Wnp[:-1], [Wnp[-1]]]).astype(np.int32))
+                else:
+                    offsets = jnp.concatenate([
+                        jnp.zeros(1, jnp.int32),
+                        jnp.cumsum(counts)[:-1].astype(jnp.int32)])
                 order_padded = jnp.concatenate(
                     [jnp.arange(c_cap, dtype=jnp.int32),
                      jnp.full((cmax,), c_cap, jnp.int32)])

@@ -145,6 +145,17 @@ class PipelineConfig:
     # layout + 1.7 ms by-key warmstart recomputed EVERY step). Cost:
     # windows cover pair classes (~27% more masked rows in the sweep).
     gs_pair_slots: bool = False
+    # STATIC pair slots (on top of gs_pair_slots): color c's pairs land at
+    # compile-time slots [Σwindows[:c-1], Σwindows[:c-1]+windows[c-1]) of
+    # the cached pair list, residue/overflow in a tail segment past
+    # Σwindows (unswept for a frame, standard regrow contract). Every
+    # per-rung slice/update of the solve's field+impulse matrices then has
+    # a STATIC offset — the round-4 device profile showed ~2.1 ms/step of
+    # runtime-addressed async slice-starts on the dynamic class
+    # boundaries, and a 13-rung microbench (scripts/exp_static_rungs.py)
+    # reads 0.88 → 0.55 ms/step from this change alone. Requires
+    # pair_capacity ≥ Σwindows + tail (step_checked maintains it).
+    gs_static_slots: bool = False
     # TOPO-GC-style color-count minimization sweeps after a full Luby
     # recolor (solver.minimize_colors ≙ the reference's primary min-color
     # pass, coloring.rs:220-325): reseat edges into the lowest free color,
@@ -458,18 +469,92 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                       and config.gs_chained and bool(config.gs_windows)
                       and not config.gs_fused and shard is None
                       and mins.shape[1] == 3)
+    _mc = config.max_colors
+    _swin = tuple(config.gs_windows[:_mc]) if use_pair_slots else ()
+    use_static_slots = (use_pair_slots and config.gs_static_slots
+                        and config.pair_capacity >= sum(_swin) + 256)
+    if use_static_slots:
+        import zlib
+
+        # the cached layout is only valid for THIS window ladder: fold the
+        # ladder into the tag flag so a re-bucketed ladder forces a refresh
+        slot_flag = np.int32(2 + zlib.crc32(repr(_swin).encode())
+                             % 2000000000)
+    else:
+        slot_flag = np.int32(1)
 
     def _sort_pairs_cm(p, tag):
         """Color-major pair order: valid pairs ascending by color, invalid
         tail. Stable, so surviving pairs keep relative order across
         repairs (slots still shift on repair frames — the solve falls
         back to by-key warmstart + fresh layout exactly then)."""
-        key = jnp.where(p.valid, jnp.clip(tag[0], 1, config.max_colors),
+        if use_static_slots:
+            return _sort_pairs_static(p, tag)
+        # clip LOW bound 0, not 1: uncolored residue must sort BEFORE
+        # class 1 as its own contiguous block — solve's pair-slot layout
+        # derives offsets[1] = count(color 0), so clipping residue into
+        # class 1's key interleaved it through the first classes' windows
+        # (wrong rows swept; disjointness not guaranteed). Found via the
+        # static-slot A/B (round 5); reachable only when the colorer
+        # leaves residue (max_colors exhausted — not the bench regime).
+        key = jnp.where(p.valid, jnp.clip(tag[0], 0, config.max_colors),
                         config.max_colors + 1).astype(jnp.int32)
         perm = jnp.argsort(key, stable=True).astype(jnp.int32)
         g = lambda x: x[perm]
         return (PairList(g(p.body_a), g(p.body_b), g(p.valid), p.count),
-                (g(tag[0]),) + tuple(tag[1:-1]) + (jnp.int32(1),))
+                (g(tag[0]),) + tuple(tag[1:-1]) + (slot_flag,))
+
+    def _sort_pairs_static(p, tag):
+        """Static rung placement (PipelineConfig.gs_static_slots): color
+        c's valid pairs land at slots [W_{c-1}, W_{c-1}+count_c) where
+        W = cumsum(windows) — compile-time class offsets, so every
+        per-rung slice in the solve is STATIC. Valid pairs that don't fit
+        (class overflow beyond its rung, uncolored residue) go to the
+        tail segment [ΣW, cap) and are unswept for one frame (regrow
+        contract); invalid rows are dropped (their slots read as empty).
+        A tail that outgrows the segment flips the pair count negative
+        with an inflated magnitude so step_checked regrows capacity."""
+        cap = p.body_a.shape[0]
+        Wnp = np.concatenate([[0], np.cumsum(_swin)]).astype(np.int32)
+        T = int(Wnp[-1])
+        w_start = jnp.asarray(Wnp[:-1])  # [max_colors] class starts
+        win_arr = jnp.asarray(np.asarray(_swin, np.int32))
+        cls = jnp.clip(tag[0], 0, _mc)
+        in_class = p.valid & (cls >= 1)
+        key = jnp.where(in_class, cls, _mc + 1).astype(jnp.int32)
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        skey = key[perm]
+        valid_s = p.valid[perm]
+        counts = jax.ops.segment_sum(jnp.ones(cap, jnp.int32), skey,
+                                     num_segments=_mc + 2)
+        dyn_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        rank = pos - dyn_off[skey]
+        is_class = skey <= _mc  # class rows are valid by construction
+        ci = jnp.maximum(skey - 1, 0)
+        fits = is_class & (rank < win_arr[ci])
+        tail_need = valid_s & ~fits
+        tail_rank = jnp.cumsum(tail_need.astype(jnp.int32)) - 1
+        tail_ok = tail_need & (T + tail_rank < cap)
+        dst = jnp.where(fits, w_start[ci] + rank,
+                        jnp.where(tail_ok, T + tail_rank, cap))
+        n_drop = jnp.sum((tail_need & ~tail_ok).astype(jnp.int32))
+
+        def sc(x, fill=0):
+            return jnp.full((cap,), fill, x.dtype).at[dst].set(
+                x[perm], mode="drop")
+
+        new_valid = jnp.zeros((cap,), bool).at[dst].set(valid_s,
+                                                        mode="drop")
+        # dropped tail ⇒ signal with an inflated magnitude so the host's
+        # pair_capacity regrow creates enough room for ΣW + tail
+        need = T + jnp.sum(tail_need.astype(jnp.int32)) + 256
+        mag = jnp.maximum(jnp.abs(p.count), need)
+        cnt = jnp.where((p.count < 0) | (n_drop > 0),
+                        -jnp.maximum(mag, 1), p.count)
+        return (PairList(sc(p.body_a), sc(p.body_b), new_valid, cnt),
+                (sc(tag[0]),) + tuple(tag[1:-1]) + (slot_flag,))
 
     def _colored_bp(mn, mx, reuse=None):
         p = _run_bp(mn, mx)
@@ -677,10 +762,11 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
                 knobs_ok = ((state.bp_colors[1] == config.gs_cmax)
                             & (state.bp_colors[2] == config.max_colors))
                 if use_pair_slots:
-                    # the pair-slot layout REQUIRES a color-major-sorted
-                    # cached pair list; a cache written by a non-pair-slot
-                    # config (3-tuple tag or flag 0) forces a refresh
-                    knobs_ok &= (state.bp_colors[3] == 1
+                    # the pair-slot layout REQUIRES a cached pair list
+                    # sorted under the SAME slot scheme: flag 1 = dynamic
+                    # color-major, 2+hash(ladder) = static rungs — a cache
+                    # written by any other config forces a refresh
+                    knobs_ok &= (state.bp_colors[3] == slot_flag
                                  if len(state.bp_colors) > 3
                                  else jnp.bool_(False))
             # cached pairs stay a superset of true overlaps while every AABB
@@ -865,6 +951,7 @@ def step(state: PhysicsState, params: SimParams, config: PipelineConfig,
         fused_pallas=config.gs_fused_pallas,
         chained=config.gs_chained,
         rhs_in_rung=config.gs_rhs_in_rung,
+        static_layout=_swin if use_static_slots else None,
     )
     new_bodies = Bodies(poses, vels, bodies.local_mprops, bodies.kinematic)
     counts = jnp.concatenate([
@@ -936,7 +1023,7 @@ def step_checked(state: PhysicsState, params: SimParams,
                 config.broad_phase_max_per_row * 2, 512),
             "bp_cell_cap": min(config.bp_cell_cap * 2, 32),
             "bp_global_cap": min(config.bp_global_cap * 2, 64),
-            "bp_cand_budget": min(config.bp_cand_budget * 3 // 2, 144),
+            "bp_cand_budget": min(config.bp_cand_budget * 3 // 2, 432),
         }
         if all(getattr(config, k) == v for k, v in grown.items()):
             # every budget knob is already at its cap but the grid still
@@ -1024,6 +1111,15 @@ def step_checked(state: PhysicsState, params: SimParams,
         if config.gs_fused and int(cc[0]) > config.gs_rung0:
             regrow["gs_rung0"] = max(
                 256, -(-int(cc[0]) * 23 // 20 // 256) * 256)
+    if config.gs_static_slots and config.gs_windows:
+        # static rung placement needs pair_capacity ≥ Σwindows + tail
+        # (grow-only, same bucketing as the count-driven regrow)
+        rungs_now = (regrow.get("gs_windows")
+                     or config.gs_windows)[:config.max_colors]
+        need = sum(rungs_now) + 256
+        have = regrow.get("pair_capacity", config.pair_capacity)
+        if have < need:
+            regrow["pair_capacity"] = max(bucket(need), have)
     if regrow:
         config = dataclasses.replace(config, **regrow)
         if stats is not None:
