@@ -198,29 +198,43 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
     # rows: grid bodies scan grid+globals; global rows scan globals only
     mask_f &= jnp.where(is_glob_row & grid_cols[None, :], False, True)
 
-    # exact AABB overlap — all per-candidate body data rides ONE gather
-    # (gather cost on TPU is per-row, so pack rows instead of gathering
-    # mins/maxs/center/radius separately)
+    # exact AABB overlap — all per-candidate body data rides ONE gather,
+    # COMPONENT-MAJOR along the lane axis: take([D, n], idx, axis=1) keeps
+    # the long candidate axis minormost, so nothing tile-pads. The earlier
+    # row-major packed[cand_f] ([rows, w, 7]) padded its minor dim 7→128 —
+    # an 18x HBM blowup that OOM'd the 43k pyramid (10.2 GB temp) and,
+    # measured at bench scale (scripts/exp_bp_gather.py), was also 1.6x
+    # SLOWER than the lane gather (12.05 vs 7.54 ms; per-component
+    # element gathers read 107 ms — per-row cost dominates TPU gathers).
     packed_cols = [mins, maxs]
     if ball_radius is not None:
         rr = jnp.asarray(ball_radius)
         packed_cols += [center, rr[:, None]]
     if dynamic is not None:
         packed_cols += [jnp.asarray(dynamic, jnp.float32)[:, None]]
-    packed = jnp.concatenate(packed_cols, axis=-1)
-    cdata = packed[cand_f]
+    packedT = jnp.concatenate(packed_cols, axis=-1).T  # [D, n]
+    D = packedT.shape[0]
+    if D % 8:  # sublane-align the component rows
+        packedT = jnp.concatenate(
+            [packedT, jnp.zeros((8 - D % 8, packedT.shape[1]),
+                                packedT.dtype)])
+    # direct 3-D take (indices stay [nr, w]): the flat-then-reshape form
+    # let XLA pick a transposed {0,1} layout for the [8, nr*w] intermediate
+    # at 43k scale — minor dim 8 → 16x tile padding, 10 GB temp, HBM OOM.
+    # With the candidate axis minormost nothing pads.
+    cd = jnp.take(packedT, cand_f, axis=1, mode="clip")  # [D8, nr, w]
     if dynamic is not None:
-        dyn_col = cdata[..., -1] > 0.5
-        mask_f &= rsl(jnp.asarray(dynamic))[:, None] | dyn_col
-    cmins = cdata[..., :dim]
-    cmaxs = cdata[..., dim:2 * dim]
-    overlap = jnp.all((r_mins[:, None, :] <= cmaxs)
-                      & (cmins <= r_maxs[:, None, :]), axis=-1)
+        mask_f &= rsl(jnp.asarray(dynamic))[:, None] | (cd[D - 1] > 0.5)
+    overlap = jnp.ones_like(mask_f)
+    for a in range(dim):
+        overlap &= ((r_mins[:, a:a + 1] <= cd[dim + a])
+                    & (cd[a] <= r_maxs[:, a:a + 1]))
     if ball_radius is not None:
-        ccen = cdata[..., 2 * dim:3 * dim]
-        crad = cdata[..., 3 * dim]
-        d2 = jnp.sum((r_center[:, None, :] - ccen) ** 2, axis=-1)
-        lim = rsl(rr)[:, None] + crad + margin
+        d2 = jnp.zeros_like(cd[0])
+        for a in range(dim):
+            da = r_center[:, a:a + 1] - cd[2 * dim + a]
+            d2 += da * da
+        lim = rsl(rr)[:, None] + cd[3 * dim] + margin
         sphere_hit = d2 <= lim * lim
         overlap = jnp.where(jnp.isfinite(lim), overlap & sphere_hit, overlap)
     mask_f &= overlap
