@@ -526,15 +526,6 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
         # (vs the `ladder` config directly, no prior K-run needed), so a
         # cold driver run records the headline number after ~4 compiles
         # instead of after the full ladder pass.
-        # chained_ss = pair slots at STATIC rung offsets (gs_static_slots):
-        # every per-rung slice in the solve is compile-time addressed —
-        # kills the ~2.1 ms/step of async dynamic-slice starts in the
-        # round-4 device profile. Same physics as chained_ps (same classes,
-        # same within-class order; validated in test_gs_chained).
-        ("chained_ss", _dc.replace(ladder, gs_chained=True,
-                                   gs_rhs_in_rung=True,
-                                   gs_pair_slots=True,
-                                   gs_static_slots=True), "short"),
         ("chained_ps", _dc.replace(ladder, gs_chained=True,
                                    gs_rhs_in_rung=True,
                                    gs_pair_slots=True), "short"),
@@ -553,6 +544,20 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
         candidates[3:3] = [
             # scatter-free chained sweep without rhs-in-rung
             ("chained", _dc.replace(ladder, gs_chained=True), "k"),
+            # chained_ss = pair slots at STATIC rung offsets
+            # (gs_static_slots): every per-rung slice compile-time
+            # addressed (microbench: kills the ~2.1 ms/step of async
+            # dynamic-slice starts). DEMOTED from the default list in
+            # round 5: it diverges from chained_ps by ~2e-3/frame from the
+            # FIRST frame at 10k bench scale (device gate read 0.0162 —
+            # too close to the 1e-2 rejection line to trust a lucky draw),
+            # while the 256-ball A/B (test_gs_chained) matches to 1e-5.
+            # Root cause not yet isolated; keep behind --all-candidates
+            # until the 10k A/B is bitwise-understood.
+            ("chained_ss", _dc.replace(ladder, gs_chained=True,
+                                       gs_rhs_in_rung=True,
+                                       gs_pair_slots=True,
+                                       gs_static_slots=True), "short"),
         ]
         candidates += [
             # the fused formulation lowered by XLA (wide lane gathers +
@@ -584,6 +589,7 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
         _log(f"physics ladder warmup FAILED ({type(e).__name__}: "
              f"{str(e)[:200]}); short-gated candidates will be skipped")
         lad_st = None
+    lad_env_cache = None  # ladder K-run envelopes, shared across candidates
     for name, cand, gate in candidates:
         if timed and deadline is not None and time.time() > deadline:
             _log(f"physics candidate {name} skipped: wall budget exhausted")
@@ -674,10 +680,21 @@ def bench_physics(n_bodies=10_000, settle_frames=900, calm_vel=0.05,
                 # long-horizon envelope gate (VERDICT r04 #8): 3 steps
                 # cannot see slow drift, so additionally bound the
                 # candidate's K-step kinetic energy and max ball-ball
-                # penetration against a ladder K-run from the SAME warmed
-                # state (one extra compile + K-run; trajectories diverge
-                # chaotically but the settled pile's AGGREGATES must not)
-                lad_env = jax.block_until_ready(make_run_k(lad_cfg)(st))
+                # penetration against a ladder K-run (one extra compile,
+                # shared by all short-gated candidates; trajectories
+                # diverge chaotically but the settled pile's AGGREGATES
+                # must not). The ladder run starts from the LADDER-warmed
+                # state, not the candidate's: running lad_cfg on the
+                # candidate's state flips the cache pytree STRUCTURE on
+                # the first step (6- vs 8-tuple solve bundle), which a
+                # fori_loop carry cannot absorb — that TypeError silently
+                # ate the chained_ps candidate in the round-5 first run.
+                # Both states are 6 warm steps from the same settled pile,
+                # so the aggregates are comparable.
+                if lad_env_cache is None:
+                    lad_env_cache = jax.block_until_ready(
+                        make_run_k(lad_cfg)(lad_st))
+                lad_env = lad_env_cache
                 ke_c, pen_c = _phys_envelopes(out)
                 ke_l, pen_l = _phys_envelopes(lad_env)
                 _log(f"physics {name} envelopes: KE {ke_c:.4g} vs ladder "

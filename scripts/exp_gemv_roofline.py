@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 import bench  # noqa: E402
-from wgmath_tpu.ops import gemv
+import importlib
+
+# the package re-exports the gemv FUNCTION under the submodule's name, so
+# `import wgmath_tpu.ops.gemv as m` resolves to the function — go via importlib
+gemv_mod = importlib.import_module('wgmath_tpu.ops.gemv')
 from wgmath_tpu.ops.gemv import gemv_xla
 
 N = 4096
@@ -90,7 +94,7 @@ def main():
             @jax.jit
             def f(a, v):
                 def body(i, v):
-                    return gemv.gemv(a, v, impl=impl)
+                    return gemv_mod.gemv(a, v, impl=impl)
                 return jax.lax.fori_loop(0, k, body, v)
             return f
         return mk
@@ -122,6 +126,72 @@ def main():
         return f
 
     report("a @ [4096,8] thin", make_thin, (a, x8), N * N * 4)
+
+    # --- VMEM-residency control: 8192^2 f32 = 256 MB cannot sit in the
+    # 128 MB VMEM, so this is an honest HBM read no matter what XLA
+    # allocates. If it matches the 4096^2 row-sum rate, the 4096 numbers
+    # above were HBM-bound too (only the axpy CARRY was VMEM-resident).
+    N2 = 8192
+    a2 = jnp.asarray(rng.normal(size=(N2, N2)).astype(np.float32) / 64.0)
+    s2 = jnp.zeros((N2,), jnp.float32)
+    report("row-sum 8192 (256MB)", make_rowsum, (a2, s2), N2 * N2 * 4)
+
+    def make_gemv2(k):
+        @jax.jit
+        def f(a, v):
+            def body(i, v):
+                return gemv_mod.gemv(a, v)
+            return jax.lax.fori_loop(0, k, body, v)
+        return f
+
+    report("gemv 8192 (256MB)", make_gemv2,
+           (a2, jnp.ones((N2,), jnp.float32)), N2 * N2 * 4)
+
+    # --- max-stream probe: Pallas kernel that READS [block, N] tiles
+    # double-buffered and does only lane-wise vector adds (no cross-lane
+    # reduce, no rhs multiply) — the fastest a kernel can possibly
+    # traverse the matrix. If THIS plateaus at the row-sum rate, ~620 GB/s
+    # IS the chip's effective sequential-read ceiling and gemv is at its
+    # roofline; if it streams faster, gemv has kernel slack.
+    from jax.experimental import pallas as pl
+
+    def tile_sum_kernel(s_ref, a_ref, o_ref):
+        # chain rides the tiny s operand so `a` stays untouched (scaling
+        # `a` outside the pallas_call would materialize a 64 MB temp —
+        # XLA cannot fuse elementwise producers into a custom call)
+        blk = a_ref[...]  # [B, N] tile
+        part = jnp.sum(blk.reshape(8, -1, 128), axis=1)
+        i = pl.program_id(0)
+        prev = jnp.where(i == 0, 1e-30 * s_ref[...], o_ref[...])
+        o_ref[...] = prev + part  # accumulate: no grid step is dead
+
+    def make_tile_sum(block):
+        def mk(k):
+            def one(a, s):
+                g = N // block
+                return pl.pallas_call(
+                    tile_sum_kernel,
+                    grid=(g,),
+                    in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0)),
+                              pl.BlockSpec((block, N),
+                                           lambda i: (i, 0))],
+                    out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                )(s, a)
+
+            @jax.jit
+            def f(a, s):
+                def body(i, s):
+                    return one(a, s)
+                return jax.lax.fori_loop(0, k, body, s)
+            return f
+        return mk
+
+    # b512+ needs >16 MB of double-buffered scoped VMEM — remote compile
+    # rejects it; 128/256 fit
+    for blk in (128, 256):
+        report(f"pallas tile-sum b{blk}", make_tile_sum(blk),
+               (a, jnp.zeros((8, 128), jnp.float32)), N * N * 4)
 
 
 if __name__ == "__main__":

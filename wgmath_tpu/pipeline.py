@@ -215,7 +215,9 @@ class PipelineConfig:
     # INSIDE the GS math kernel from poses ridden through the velocity
     # stream (biased sweep) / the stored rhs_wo_bias (unbiased sweep) —
     # the per-substep update_rhs_sorted phase (a 2C-row pose gather + XLA
-    # relinearization) disappears. Requires gs_chained; 3D, no joints.
+    # relinearization) disappears. Requires gs_chained; 3D. Joints ride
+    # along: they rebuild per substep and solve in their own
+    # joint_gs_pass around the chained contact sweeps (round 5).
     gs_rhs_in_rung: bool = False
     # fine-grained pair/contact capacity re-bucketing: ceil(1.10·n/1024)
     # ·1024 instead of the 1.5x bucket ladder. Every capacity-sized pass

@@ -521,6 +521,62 @@ def joint_net2(nk: int = 12, ni: int = 12, *, joint: str = "revolute"
     return new_state(bodies, shapes, joints)
 
 
+def ball_net3(nk: int = 100, ni: int = 100, *, radius: float = 0.25,
+              spacing: float = 0.6, height: float = 8.0) -> PhysicsState:
+    """Large 3D net: an ``nk x ni`` grid of balls joined to their 4-neighbors
+    by spherical joints, draping over a big static ball onto the ground
+    (joints-at-scale stress — the 3D analog of joint_ball2.rs's hanging net,
+    sized to the reference's 10k-body benchmark regime).
+
+    ~2·nk·ni joint constraints solve inside the same substep loop as the
+    contacts (≙ solver.rs:238-460 + joint.rs:368-460); the drape produces
+    sustained ball-ground, ball-dome, and net self-contacts. Statics
+    (ground, dome) come first per the hub-row convention.
+    """
+    from wgmath_tpu.dynamics.joint import spherical_joints
+
+    n = nk * ni
+    idx = lambda k, i: k * ni + i  # noqa: E731 - grid index
+    pos = np.zeros((n, 3), np.float32)
+    ks, is_ = np.meshgrid(np.arange(nk), np.arange(ni), indexing="ij")
+    pos[:, 0] = (ks.reshape(-1) - (nk - 1) / 2.0) * spacing
+    pos[:, 2] = (is_.reshape(-1) - (ni - 1) / 2.0) * spacing
+    pos[:, 1] = height
+    h = spacing / 2.0
+    body_a, body_b, anch_a, anch_b = [], [], [], []
+    for k in range(nk):
+        for i in range(ni):
+            if k > 0:  # link along x, anchored at the midpoint
+                body_a.append(idx(k - 1, i))
+                body_b.append(idx(k, i))
+                anch_a.append([h, 0.0, 0.0])
+                anch_b.append([-h, 0.0, 0.0])
+            if i > 0:  # link along z
+                body_a.append(idx(k, i - 1))
+                body_b.append(idx(k, i))
+                anch_a.append([0.0, 0.0, h])
+                anch_b.append([0.0, 0.0, -h])
+    dome_r = 5.0
+    shapes = ShapeSet.concat(
+        ShapeSet.balls(jnp.asarray([dome_r])),
+        ShapeSet.balls(jnp.full((n,), radius)),
+    )
+    mp = _merge_mprops(
+        ball_local_mprops(jnp.asarray([dome_r]),
+                          dynamic=jnp.zeros((1,), bool)),
+        ball_local_mprops(jnp.full((n,), radius)),
+    )
+    trans = jnp.asarray(
+        np.concatenate([np.asarray([[0.0, 1.0, 0.0]], np.float32), pos]))
+    base = _with_ground(shapes, trans, mp, dim=3)
+    n_static = 2  # ground + dome precede the net in body order
+    dynamic = np.concatenate([np.zeros(n_static, bool), np.ones(n, bool)])
+    joints = spherical_joints([b + n_static for b in body_a],
+                              [b + n_static for b in body_b],
+                              anch_a, anch_b, dynamic_mask=dynamic)
+    return new_state(base.bodies, base.shapes, joints)
+
+
 def joint_prismatic2(chains: int = 4, num: int = 6) -> PhysicsState:
     """2D prismatic chains: boxes sliding on alternating diagonal axes with
     ±1.5 travel limits under a static head box (≙ joint_prismatic2.rs:20-52,
@@ -612,4 +668,8 @@ SCENES.update({
     "joint_ball2": lambda: joint_net2(12, 12, joint="revolute"),
     "joint_fixed2": lambda: joint_net2(8, 8, joint="fixed"),
     "joint_prismatic2": joint_prismatic2,
+    # joints-at-scale drape (10k bodies + ~19.8k joints at full size; the
+    # testbed entry uses a CPU-friendly size — scripts/run_jointed10k.py
+    # runs the full-scale version on device)
+    "ball_net3": lambda: ball_net3(16, 16),
 })
