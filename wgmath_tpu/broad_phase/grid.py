@@ -86,14 +86,25 @@ def find_pairs_grid(mins: jax.Array, maxs: jax.Array, *, capacity: int,
 
     ext = maxs - mins
     ext_max = jnp.max(ext, axis=-1)
-    ext_valid = jnp.where(active, ext_max, 0.0)
-    # robust cell size: 92nd percentile of extents; anything larger is a
-    # "global" body tested densely against everyone
-    k90 = max(int(n * 0.92) - 1, 0)
-    cell = jnp.sort(ext_valid)[k90] * 1.0001 + 1e-6
+    # Global bodies = genuine OUTLIERS (> 3x the median extent: grounds,
+    # walls, huge meshes), not a fixed percentile. The old "92nd percentile
+    # is the cell size, anything above is global" rule was degenerate for
+    # uniform-extent populations: the 42.9k cuboid pyramid's boxes all
+    # share extent ~1.0 at rest, so the first frames' tiny tilts sent an
+    # ARBITRARY ~8% of 43k bodies (>> global_cap) to the global list —
+    # overflow, truncated pairs, bottom layers lost support and the
+    # pyramid free-fell through itself (round-5 root cause). Spheres never
+    # showed it (rotation-invariant AABBs).
+    ext_sorted = jnp.sort(jnp.where(active, ext_max, jnp.inf))
+    med = ext_sorted[n // 2]
+    glob_thr = jnp.where(jnp.isfinite(med), 3.0 * med, jnp.inf)
+    is_global = active & (ext_max > glob_thr)
+    # cell size = the largest NON-global extent, so every grid body fits
+    # inside one cell and the ±1-cell neighbor scan keeps its exactness
+    # invariant (a grid pair's centers lie within one cell of each other).
+    cell = (jnp.max(jnp.where(active & ~is_global, ext_max, 0.0))
+            * 1.0001 + 1e-6)
     center = 0.5 * (mins + maxs)
-
-    is_global = active & (ext_max > cell)
     n_glob = jnp.sum(is_global.astype(jnp.int32))
     glob_overflow = n_glob > global_cap
     gcap = min(global_cap, n)
