@@ -221,16 +221,24 @@ def _gs_math_xla(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT, p1T, p2T,
     return new_n, new_t.reshape(p_max * s_len, -1), d1, d2
 
 
-def _lane_tiling(L):
+def _lane_tiling(L, rows=280):
     """(block_width, n_blocks): wide windows split along the lane axis —
-    the math is purely columnwise, and one [~220, L] block past L≈16k
-    blows the 16 MB scoped-VMEM budget (pyramid-43k regrow OOM'd at
-    L=24576). Rung widths are 128-quantum, so a power-of-two tile always
+    the math is purely columnwise, and one [~280-row, L] operand set past
+    L≈8k blows the 16 MB scoped-VMEM budget (pyramid-43k regrow OOM'd at
+    L=24576: the first fix tiled at a fixed 8192, but 280 combined rows
+    x 8192 lanes x f32, double-buffered, is still 22 MB — the budget must
+    scale with the ROW count, which varies with p_max/s_len/meta).
+    ``rows``: total first-dim rows across all in/out operands. Tile width
+    is the largest 128-quantum divisor whose double-buffered resident set
+    fits ~10 MB (slack below the 16 MB scoped limit for compiler
+    scratch). Rung widths are 128-quantum, so a power-of-two tile always
     divides them in practice; indivisible widths keep the single block."""
-    if L <= 8192:
+    budget = 10 * 1024 * 1024
+    bl_max = max(budget // (max(rows, 1) * 4 * 2), 512)
+    if L <= min(8192, bl_max):
         return L, 1
     for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if L % cand == 0:
+        if cand <= bl_max and L % cand == 0:
             return cand, L // cand
     return L, 1
 
@@ -243,7 +251,11 @@ def _gs_math_pallas_call(winT, cfmT, n_rhsT, t_rhsT, numpT, activeT,
 
     L = winT.shape[1]
     meta = dict(meta_t)
-    BL, n_blk = _lane_tiling(L)
+    ins_rows = (winT.shape[0] + cfmT.shape[0] + n_rhsT.shape[0]
+                + t_rhsT.shape[0] + numpT.shape[0] + activeT.shape[0]
+                + p1T.shape[0] + p2T.shape[0] + prev_nT.shape[0]
+                + prev_tT.shape[0])
+    BL, n_blk = _lane_tiling(L, ins_rows + 2 * p_max * (1 + s_len) + 12)
 
     def kernel(win_ref, cfm_ref, nrhs_ref, trhs_ref, nump_ref, act_ref,
                p1_ref, p2_ref, pn_ref, pt_ref,
@@ -324,7 +336,11 @@ def _gs_math_rhs_pallas_call(winT, numpT, activeT, p1T, p2T, auxT,
     L = winT.shape[1]
     meta = dict(meta_t)
     biased = mode == "biased"
-    BL, n_blk = _lane_tiling(L)
+    ins_rows = (winT.shape[0] + numpT.shape[0] + activeT.shape[0]
+                + p1T.shape[0] + p2T.shape[0] + auxT.shape[0]
+                + prev_nT.shape[0] + prev_tT.shape[0] + pose2T.shape[0])
+    outs_rows = p_max * (1 + s_len) + 12 + (p_max if biased else 0)
+    BL, n_blk = _lane_tiling(L, ins_rows + outs_rows)
 
     def kernel(win_ref, nump_ref, act_ref, p1_ref, p2_ref, aux_ref,
                pn_ref, pt_ref, pose2_ref, *out_refs):
